@@ -1,0 +1,612 @@
+"""Bidirectional path tracer with VCM-style recursive MIS weights.
+
+TPU-native wavefront reformulation of the reference BDPT (reference:
+src/integrators/bdpt.h).  The recursive eye/light random walks become
+`lax.scan`s over a fixed depth bound with masked lanes; the per-pixel-mutex
+framebuffer splats (bdpt.h:360-370) become scatter-adds merged by `psum`
+across devices; the all-pairs eye x light vertex connections run as an inner
+scan over stored light-vertex slots.
+
+MIS bookkeeping follows Georgiev's "Implementing VCM" tech report exactly as
+the reference implements it, including its deliberate quirks (SURVEY.md
+"quirks register"):
+  * uniform-hemisphere emission direction (bdpt.h:165-166);
+  * pure-specular eye paths skip the s=0 MIS weight (bdpt.h:95-100);
+  * t=1 weights use 1/(W*H) light-path counting (bdpt.h:330-351);
+  * s=0 technique uses emitterPositionPdf_a = 1/(area*emitterPdf)
+    (bdpt.h:87 -- equivalent to the usual form only when there is a single
+    emitter; replicated verbatim for parity);
+  * NO_RR mode: rrDepth acts as a hard depth bound (bdpt.h:18,68,188);
+  * RR mode: continuation probability 1.0 unless luminance(throughput) <
+    0.01, then 0.5 (bdpt.h:129,201).
+
+The compile-time ablation switches LIGHT_TRACING / PATH_TRACING
+(bdpt.h:16-17) are runtime-static `mode` flags here: 'bdpt',
+'light_trace', 'path_trace'.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..accel.traverse import trace_any, trace_closest
+from ..bsdf import bsdf
+from ..core import rng
+from ..core.camera import generate_rays, splat_to_image_plane
+from ..core.math import (
+    EPSILON,
+    INV_TWOPI,
+    VIS_SHORTEN,
+    frame_to_local,
+    frame_to_world,
+    is_zero_rgb,
+    length,
+    length2,
+    luminance,
+    make_frame,
+    normalize,
+)
+from ..scene.scene import SceneData
+from .common import (
+    emission_at,
+    make_interaction,
+    sample_emitter_position,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class BDPTConfig:
+    """Static render configuration (hashable: used as a jit-static arg)."""
+
+    width: int
+    height: int
+    spp: int
+    rr_depth: int = 5
+    rr_prob: float = 0.95          # parsed but unused, like the reference
+    mode: str = "bdpt"             # bdpt | light_trace | path_trace
+    no_rr: bool = True             # reference ships NO_RR=1 (bdpt.h:18)
+    max_bounces: int = 32          # RR-mode hard cap (the reference has
+                                   # none and can loop forever, bdpt.h:66-67)
+    near: float = 1.0
+    far: float = 1000.0
+
+    @property
+    def n_steps(self) -> int:
+        """Walk iterations: depth runs 1..rr_depth-1 in NO_RR mode
+        (bdpt.h:68,188: `while depth < rrDepth`)."""
+        if self.no_rr:
+            return max(self.rr_depth - 1, 0)
+        return self.max_bounces
+
+
+class LightVertexSlots(NamedTuple):
+    """Light subpath vertices, stacked (L, B, ...) by walk depth."""
+
+    p: jnp.ndarray        # (L, B, 3)
+    ns: jnp.ndarray       # (L, B, 3) shading normal
+    wo: jnp.ndarray       # (L, B, 3) local
+    throughput: jnp.ndarray  # (L, B, 3)
+    vcm: jnp.ndarray      # (L, B)
+    vc: jnp.ndarray       # (L, B)
+    rr: jnp.ndarray       # (L, B)
+    mat_id: jnp.ndarray   # (L, B)
+    valid: jnp.ndarray    # (L, B)
+
+
+def _rr_probability(cfg: BDPTConfig, depth, throughput):
+    """Continuation probability for the *next* bounce
+    (reference: bdpt.h:129-132, 201-204)."""
+    if cfg.no_rr:
+        return jnp.ones(throughput.shape[:-1], jnp.float32)
+    lum_low = luminance(throughput) < 0.01
+    rr = jnp.where(lum_low, 0.5, 1.0)
+    return jnp.where(depth + 1 < cfg.rr_depth, 1.0, rr)
+
+
+def _continue_walk(scene, key, it, rr_prob, throughput, vc, vcm, alive):
+    """ContinuePathRandomWalk (reference: bdpt.h:243-291).
+
+    Returns (new_ray_o, new_ray_d, throughput, vc, vcm, alive, wi_local).
+    """
+    u2 = rng.uniform2(rng.stream(key, rng.BSDF_SAMPLE), it.wo.shape[:-1])
+    s = bsdf.sample_bsdf(scene.mat, it.mat_id, it.wo, u2)
+    pdf_w = s.pdf * rr_prob
+    abs_cos_out = jnp.abs(s.wi[..., 2])
+    dead = is_zero_rgb(s.value) | (pdf_w <= 0.0)
+    safe_pdf = jnp.where(dead, 1.0, pdf_w)
+    throughput = throughput * s.value / safe_pdf[..., None]
+
+    # Reverse pdf: probability of generating the *previous* edge given the
+    # new one; delta BSDFs reuse the forward pdf (bdpt.h:269-272).
+    rev_pdf = bsdf.pdf_bsdf(scene.mat, it.mat_id, s.wi, it.wo) * rr_prob
+    prev_rev_pdf = jnp.where(s.delta, pdf_w, rev_pdf)
+
+    # vc/vcm recursion; delta case is Eqs. 53-54 (bdpt.h:274-285).
+    ratio = abs_cos_out / safe_pdf
+    vc_delta = ratio * (prev_rev_pdf * vc)
+    vc_smooth = ratio * (vcm + prev_rev_pdf * vc)
+    vc = jnp.where(s.delta, vc_delta, vc_smooth)
+    vcm = jnp.where(s.delta, 0.0, 1.0 / safe_pdf)
+
+    d_world = frame_to_world(it.frame_ns, s.wi)
+    alive = alive & ~dead
+    return it.p, d_world, throughput, vc, vcm, alive, s.wi
+
+
+def _visible(scene, start, end):
+    """visibilityQuery: True when the segment is *occluded*
+    (reference: bdpt.h:498-514).  Ray [Epsilon, dist - 1e-5]."""
+    seg = end - start
+    dist = length(seg)
+    d = seg / jnp.maximum(dist, 1e-20)[..., None]
+    return trace_any(scene.geom, start, d, EPSILON, dist - VIS_SHORTEN)
+
+
+def _connect_to_camera(scene, cam_consts, cfg: BDPTConfig, it, throughput,
+                       vcm, vc, rr_prob, active):
+    """t=1 technique: splat a light vertex onto the image plane
+    (reference: bdpt.h:295-371, VCM Eqs. 46-47).
+
+    Returns (pixel (B,), rgb (B,3), n_vis_rays); pixel == W*H for dropped
+    lanes."""
+    w, h = cfg.width, cfg.height
+    cam_o = cam_consts["o"]
+    eye_to_lv = it.p - cam_o
+    inv_d2 = 1.0 / jnp.maximum(length2(eye_to_lv), 1e-20)
+    dirn = eye_to_lv * jnp.sqrt(inv_d2)[..., None]
+
+    x_pix, y_pix, in_bounds = splat_to_image_plane(cam_consts, w, h, it.p)
+    ok = active & in_bounds
+
+    cos_cam = jnp.sum(cam_consts["forward"] * dirn, axis=-1)
+    ok &= cos_cam > 0.0
+
+    wi_local = frame_to_local(it.frame_ns, -dirn)
+    f = bsdf.eval_bsdf(scene.mat, it.mat_id, it.wo, wi_local)
+    ok &= ~is_zero_rgb(f) & (wi_local[..., 2] > 0.0)
+
+    occluded = _visible(scene, jnp.broadcast_to(cam_o, it.p.shape), it.p)
+    n_vis = jnp.sum(ok)
+    ok &= ~occluded
+
+    vnpd = cam_consts["vnpd"]
+    img_pt_dist = vnpd / jnp.maximum(cos_cam, 1e-20)
+    image_area_to_solid = img_pt_dist * img_pt_dist / jnp.maximum(
+        cos_cam, 1e-20)
+    cam_solid_to_area = wi_local[..., 2] * inv_d2
+    image_to_surf = image_area_to_solid * cam_solid_to_area
+
+    n_light = float(w * h)
+    safe_z = jnp.maximum(wi_local[..., 2], 1e-20)
+    radiance = (
+        throughput
+        * f
+        * (1.0 / safe_z)[..., None]
+        * image_to_surf[..., None]
+        * (1.0 / (n_light * cfg.spp))
+    )
+
+    # MIS weight (Eqs. 46-47): reverse pdf of the camera sampling the
+    # vertex, in surface-area measure, over the light-path count.
+    reverse_pdf_a = image_to_surf
+    prev_rev_pdf = (
+        bsdf.pdf_bsdf(scene.mat, it.mat_id, wi_local, it.wo) * rr_prob
+    )
+    light_weight = (reverse_pdf_a / n_light) * (vcm + prev_rev_pdf * vc)
+    mis = 1.0 / (light_weight + 1.0)
+    if cfg.mode == "bdpt":
+        radiance = radiance * mis[..., None]
+
+    pixel = y_pix * w + x_pix
+    pixel = jnp.where(ok, pixel, w * h)
+    radiance = jnp.where(ok[..., None], radiance, 0.0)
+    return pixel, radiance, n_vis
+
+
+def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, key, b,
+                       primary_alive):
+    """Light walk (reference: bdpt.h:158-217).
+
+    Returns (slots: LightVertexSlots, splat_pixels (L,B), splat_rgb (L,B,3),
+    ray_count)."""
+    l = cfg.n_steps
+    es = sample_emitter_position(
+        scene, rng.stream(key, 100), (b,)
+    )
+    u_dir = rng.uniform2(rng.stream(key, rng.EMITTER_DIRECTION), (b,))
+    from ..core import warp as _warp
+
+    dir_local = _warp.square_to_uniform_hemisphere(u_dir)
+    cos_out = dir_local[..., 2]
+    emitter_pdf = es.select_pdf
+    emission_pdf = INV_TWOPI * es.pos_pdf * emitter_pdf  # bdpt.h:166,168
+    area_pdf = es.pos_pdf * emitter_pdf                  # bdpt.h:167
+
+    light_frame = make_frame(es.normal)
+    d = frame_to_world(light_frame, dir_local)
+
+    safe_emission_pdf = jnp.maximum(emission_pdf, 1e-30)
+    throughput = (
+        cos_out[..., None] * es.radiance / safe_emission_pdf[..., None]
+    )  # bdpt.h:173
+    vc = cos_out / safe_emission_pdf                      # bdpt.h:175
+    vcm = area_pdf / safe_emission_pdf                    # bdpt.h:177
+    alive = primary_alive & (cos_out > 0.0)               # bdpt.h:179-182
+
+    if l == 0:
+        zero3 = jnp.zeros((0, b, 3), jnp.float32)
+        zero1 = jnp.zeros((0, b), jnp.float32)
+        slots = LightVertexSlots(
+            p=zero3, ns=zero3, wo=zero3, throughput=zero3, vcm=zero1,
+            vc=zero1, rr=zero1, mat_id=jnp.zeros((0, b), jnp.int32),
+            valid=jnp.zeros((0, b), bool),
+        )
+        return (slots, jnp.zeros((0, b), jnp.int32), zero3,
+                jnp.int32(0))
+
+    def step(carry, depth):
+        o, d, throughput, vc, vcm, alive, rr_prev, nrays = carry
+        kd = jax.random.fold_in(key, depth)
+
+        if not cfg.no_rr:
+            u_rr = rng.uniform1(rng.stream(kd, rng.RR), (b,))
+            alive = alive & ((depth < cfg.rr_depth) | (u_rr < rr_prev))
+
+        nrays = nrays + jnp.sum(alive)
+        hit = trace_closest(scene.geom, o, d, EPSILON, jnp.inf)
+        alive = alive & hit.valid
+        it = make_interaction(scene, d, hit)
+
+        dist2 = hit.t * hit.t
+        abs_cos_in = jnp.maximum(jnp.abs(it.wo[..., 2]), 1e-20)
+        vcm = vcm * dist2 / abs_cos_in  # bdpt.h:196
+        vc = vc / abs_cos_in            # bdpt.h:197
+
+        rr_prob = _rr_probability(cfg, depth, throughput)
+        lane = bsdf.gather_lane(scene.mat, it.mat_id)
+        delta = bsdf.is_delta(lane)
+
+        pix, rgb, nvis = _connect_to_camera(
+            scene, cam_consts, cfg, it, throughput, vcm, vc, rr_prob,
+            alive & ~delta,
+        )
+        nrays = nrays + nvis
+
+        o2, d2, thr2, vc2, vcm2, alive2, wi = _continue_walk(
+            scene, kd, it, rr_prob, throughput, vc, vcm, alive
+        )
+        vertex_valid = alive & ~delta & alive2  # push-after-continue,
+        # reference bdpt.h:211-215
+
+        vertex = LightVertexSlots(
+            p=it.p,
+            ns=it.frame_ns[..., 2, :],
+            wo=it.wo,
+            throughput=throughput,
+            vcm=vcm,
+            vc=vc,
+            rr=rr_prob,
+            mat_id=it.mat_id,
+            valid=vertex_valid,
+        )
+        return (o2, d2, thr2, vc2, vcm2, alive2, rr_prob, nrays), (
+            vertex, pix, rgb)
+
+    init = (es.pos, d, throughput, vc, vcm, alive,
+            jnp.ones((b,), jnp.float32), jnp.int32(0))
+    depths = jnp.arange(1, l + 1)
+    (carry, (slots, pix, rgb)) = jax.lax.scan(step, init, depths)
+    return slots, pix, rgb, carry[-1]
+
+
+def _connect_to_light(scene, cfg: BDPTConfig, key, it, throughput, vcm, vc,
+                      rr_prob, active):
+    """s=1 next-event estimation (reference: bdpt.h:374-430,
+    VCM Eqs. 44-45). Returns (contribution (B,3), n_vis)."""
+    es = sample_emitter_position(scene, rng.stream(key, 200), it.p.shape[:1])
+
+    l2e = it.p - es.pos
+    dist2 = jnp.maximum(length2(l2e), 1e-20)
+    dirn = l2e / jnp.sqrt(dist2)[..., None]
+
+    wi_local = frame_to_local(it.frame_ns, -dirn)
+    cos_at_light = jnp.sum(es.normal * dirn, axis=-1)
+    cos_at_eye = wi_local[..., 2]
+    ok = active & (cos_at_light > 0.0) & (cos_at_eye > 0.0)
+
+    connect_pdf_a = es.select_pdf * es.pos_pdf
+    connect_pdf_w = connect_pdf_a * dist2 / jnp.maximum(cos_at_light, 1e-20)
+    dir_pdf_w = INV_TWOPI  # squareToUniformHemispherePdf
+
+    f = bsdf.eval_bsdf(scene.mat, it.mat_id, it.wo, wi_local)
+    li = (
+        f * throughput * es.radiance
+        / jnp.maximum(connect_pdf_w, 1e-30)[..., None]
+    )
+    ok &= ~is_zero_rgb(li)
+
+    n_vis = jnp.sum(ok)
+    occluded = _visible(scene, it.p, es.pos)
+    ok &= ~occluded
+
+    light_rev_pdf_w = (
+        bsdf.pdf_bsdf(scene.mat, it.mat_id, it.wo, wi_local) * rr_prob
+    )
+    light_weight = light_rev_pdf_w / jnp.maximum(connect_pdf_w, 1e-30)
+
+    eye_prev_rev_pdf_w = (
+        bsdf.pdf_bsdf(scene.mat, it.mat_id, wi_local, it.wo) * rr_prob
+    )
+    eye_cur_rev_pdf_a = cos_at_eye / dist2 * dir_pdf_w
+    eye_weight = eye_cur_rev_pdf_a * (vcm + eye_prev_rev_pdf_w * vc)
+
+    mis = 1.0 / (light_weight + 1.0 + eye_weight)
+    if cfg.mode == "bdpt":
+        li = li * mis[..., None]
+    return jnp.where(ok[..., None], li, 0.0), n_vis
+
+
+def _connect_vertices(scene, lv_p, lv_ns, lv_wo, lv_thr, lv_vcm, lv_vc,
+                      lv_rr, lv_mid, lv_valid, it, throughput, vcm, vc,
+                      rr_prob, active):
+    """s>=2, t>=2 technique: deterministic connection of one light-vertex
+    slot to the current eye vertex (reference: bdpt.h:434-483,
+    VCM Eqs. 40-41). Returns (contribution (B,3), n_vis)."""
+    l2e = it.p - lv_p
+    inv_d2 = 1.0 / jnp.maximum(length2(l2e), 1e-20)
+    dirn = l2e * jnp.sqrt(inv_d2)[..., None]
+
+    lv_frame = make_frame(lv_ns)
+    wi_light = frame_to_local(lv_frame, dirn)
+    wi_eye = frame_to_local(it.frame_ns, -dirn)
+    cos_l = wi_light[..., 2]
+    cos_e = wi_eye[..., 2]
+    ok = active & lv_valid & (cos_l > 0.0) & (cos_e > 0.0)
+
+    n_vis = jnp.sum(ok)
+    occluded = _visible(scene, it.p, lv_p)
+    ok &= ~occluded
+
+    f_l = bsdf.eval_bsdf(scene.mat, lv_mid, lv_wo, wi_light)
+    f_e = bsdf.eval_bsdf(scene.mat, it.mat_id, it.wo, wi_eye)
+    li = f_l * f_e * lv_thr * throughput * inv_d2[..., None]
+
+    # Reverse pdfs for the MIS weight (bdpt.h:458-479).
+    pdf_l2e = bsdf.pdf_bsdf(scene.mat, lv_mid, lv_wo, wi_light) * lv_rr
+    pdf_l_prev = bsdf.pdf_bsdf(scene.mat, lv_mid, wi_light, lv_wo) * lv_rr
+    pdf_e2l = bsdf.pdf_bsdf(scene.mat, it.mat_id, it.wo, wi_eye) * rr_prob
+    pdf_e_prev = bsdf.pdf_bsdf(scene.mat, it.mat_id, wi_eye, it.wo) * rr_prob
+
+    light_rev_a = pdf_e2l * cos_l * inv_d2
+    eye_rev_a = pdf_l2e * cos_e * inv_d2
+    light_weight = light_rev_a * (lv_vcm + pdf_l_prev * lv_vc)
+    eye_weight = eye_rev_a * (vcm + pdf_e_prev * vc)
+    mis = 1.0 / (light_weight + 1.0 + eye_weight)
+
+    li = li * mis[..., None]
+    return jnp.where(ok[..., None], li, 0.0), n_vis
+
+
+def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, key, primary_d,
+                     slots: LightVertexSlots):
+    """Eye walk (reference: bdpt.h:46-155). Returns (Li (B,3), ray_count)."""
+    b = primary_d.shape[0]
+    l = cfg.n_steps
+    li = jnp.zeros((b, 3), jnp.float32)
+    if l == 0:
+        return li, jnp.int32(0)
+
+    # t=1 pdf machinery (bdpt.h:49-62).
+    cos_cam = jnp.sum(cam_consts["forward"] * primary_d, axis=-1)
+    vnpd = cam_consts["vnpd"]
+    img_pt_dist = vnpd / jnp.maximum(cos_cam, 1e-20)
+    image_to_solid = img_pt_dist * img_pt_dist / jnp.maximum(cos_cam, 1e-20)
+    t1_pdf = image_to_solid
+
+    throughput = jnp.ones((b, 3), jnp.float32)
+    vc = jnp.zeros((b,), jnp.float32)
+    vcm = cfg.width * cfg.height * (1.0 / t1_pdf)
+
+    o0 = jnp.broadcast_to(cam_consts["o"], primary_d.shape)
+
+    n_emitters = scene.emitters.radiance.shape[0]
+
+    def step(carry, depth):
+        (o, d, throughput, vc, vcm, alive, rr_prev, pure_spec, li,
+         nrays) = carry
+        kd = jax.random.fold_in(rng.stream(key, 300), depth)
+
+        if not cfg.no_rr:
+            u_rr = rng.uniform1(rng.stream(kd, rng.RR), (b,))
+            alive = alive & ((depth < cfg.rr_depth) | (u_rr < rr_prev))
+
+        nrays = nrays + jnp.sum(alive)
+        # Primary rays carry the reference's [near, far] window
+        # (renderer.cpp:177,192); bounce rays are unbounded.
+        min_t = jnp.where(depth == 1, cfg.near, EPSILON)
+        max_t = jnp.where(depth == 1, cfg.far, jnp.inf)
+        hit = trace_closest(scene.geom, o, d, min_t, max_t)
+        alive = alive & hit.valid
+        it = make_interaction(scene, d, hit)
+
+        dist2 = hit.t * hit.t
+        abs_cos_in = jnp.maximum(jnp.abs(it.wo[..., 2]), 1e-20)
+        vcm = vcm * dist2 / abs_cos_in
+        vc = vc / abs_cos_in
+
+        # ---- s=0: the eye path hit an emitter (bdpt.h:79-125) ----
+        le = emission_at(scene, it.mat_id)
+        hit_emitter = alive & ~is_zero_rgb(le)
+        em_id = jnp.maximum(scene.shape_emitter[it.shape_id], 0)
+        em_area = scene.emitters.area[em_id]
+        emitter_pdf = 1.0 / n_emitters
+        # Replicated verbatim: 1/(area*emitterPdf) (bdpt.h:87).
+        pos_pdf_a = 1.0 / (em_area * emitter_pdf)
+        dir_pdf_w = INV_TWOPI
+        camera_weight = pos_pdf_a * vcm + (pos_pdf_a * dir_pdf_w) * vc
+        mis_s0 = 1.0 / (1.0 + camera_weight)
+
+        contrib = scene.emitters.radiance[em_id] * throughput
+        if cfg.mode == "bdpt":
+            contrib = contrib * jnp.where(pure_spec, 1.0, mis_s0)[..., None]
+            add_deep = hit_emitter & (depth > 1)
+        elif cfg.mode == "path_trace":
+            add_deep = hit_emitter & (depth > 1) & pure_spec
+        else:  # light_trace: eye walk not used
+            add_deep = jnp.zeros_like(hit_emitter)
+        li = li + jnp.where(add_deep[..., None], contrib, 0.0)
+        li = li + jnp.where(
+            (hit_emitter & (depth == 1))[..., None], le, 0.0)
+        alive = alive & ~hit_emitter  # break (bdpt.h:124)
+
+        rr_prob = _rr_probability(cfg, depth, throughput)
+        lane = bsdf.gather_lane(scene.mat, it.mat_id)
+        delta = bsdf.is_delta(lane)
+        connectable = alive & ~delta
+        pure_spec = pure_spec & ~connectable  # bdpt.h:139
+
+        # ---- s=1: NEE (bdpt.h:142) ----
+        nee, nv1 = _connect_to_light(
+            scene, cfg, kd, it, throughput, vcm, vc, rr_prob, connectable
+        )
+        li = li + nee
+        nrays = nrays + nv1
+
+        # ---- s>=2: connect to every stored light vertex (bdpt.h:145-149)
+        if cfg.mode == "bdpt" and l > 0:
+            def conn(s_idx, acc):
+                li_acc, nr_acc = acc
+                c, nv = _connect_vertices(
+                    scene,
+                    slots.p[s_idx], slots.ns[s_idx], slots.wo[s_idx],
+                    slots.throughput[s_idx], slots.vcm[s_idx],
+                    slots.vc[s_idx], slots.rr[s_idx], slots.mat_id[s_idx],
+                    slots.valid[s_idx],
+                    it, throughput, vcm, vc, rr_prob, connectable,
+                )
+                return li_acc + c, nr_acc + nv
+
+            li, nrays = jax.lax.fori_loop(0, l, conn, (li, nrays))
+
+        o2, d2, thr2, vc2, vcm2, alive2, _ = _continue_walk(
+            scene, kd, it, rr_prob, throughput, vc, vcm, alive
+        )
+        return (o2, d2, thr2, vc2, vcm2, alive2, rr_prob, pure_spec, li,
+                nrays), None
+
+    init = (o0, primary_d, throughput, vc, vcm,
+            jnp.ones((b,), bool), jnp.ones((b,), jnp.float32),
+            jnp.ones((b,), bool), li, jnp.int32(0))
+    depths = jnp.arange(1, l + 1)
+    carry, _ = jax.lax.scan(step, init, depths)
+    return carry[-2], carry[-1]
+
+
+def render_sample(scene: SceneData, cam_consts, cfg: BDPTConfig, key,
+                  pixel_idx):
+    """One pixel-sample per lane -> framebuffer contribution.
+
+    Mirrors BDPTIntegrator::render (reference: bdpt.h:219-241) plus the
+    driver's per-pixel accumulation (renderer.cpp:183-207), returning a
+    dense (W*H, 3) framebuffer increment (eye contributions at their own
+    pixel + light-tracing splats anywhere).
+    """
+    b = pixel_idx.shape[0]
+    w, h = cfg.width, cfg.height
+
+    jitter = None
+    if cfg.spp > 1:
+        jitter = rng.uniform2(rng.stream(key, rng.PIXEL_JITTER), (b,))
+    o, d = generate_rays(cam_consts, w, h, pixel_idx, jitter)
+
+    primary_hit = trace_closest(scene.geom, o, d, cfg.near, cfg.far)
+    primary_alive = primary_hit.valid
+    nrays = jnp.int32(b)
+
+    if cfg.mode in ("bdpt", "light_trace"):
+        slots, splat_pix, splat_rgb, nr_l = light_subpath_walk(
+            scene, cam_consts, cfg, rng.stream(key, 400), b, primary_alive
+        )
+        nrays = nrays + nr_l
+    else:
+        l = cfg.n_steps
+        zero3 = jnp.zeros((l, b, 3), jnp.float32)
+        zero1 = jnp.zeros((l, b), jnp.float32)
+        slots = LightVertexSlots(
+            p=zero3, ns=zero3, wo=zero3, throughput=zero3, vcm=zero1,
+            vc=zero1, rr=zero1, mat_id=jnp.zeros((l, b), jnp.int32),
+            valid=jnp.zeros((l, b), bool),
+        )
+        splat_pix = jnp.zeros((0, b), jnp.int32)
+        splat_rgb = jnp.zeros((0, b, 3), jnp.float32)
+
+    if cfg.mode == "light_trace":
+        le = emission_at(
+            scene, make_interaction(scene, d, primary_hit).mat_id
+        )
+        li = jnp.where(primary_alive[..., None], le, 0.0)
+        nr_e = jnp.int32(0)
+    else:
+        li, nr_e = eye_subpath_walk(
+            scene, cam_consts, cfg, key, d, slots
+        )
+        li = jnp.where(primary_alive[..., None], li, 0.0)
+    nrays = nrays + nr_e
+
+    fb = jnp.zeros((w * h + 1, 3), jnp.float32)
+    fb = fb.at[pixel_idx].add(li / cfg.spp)
+    if splat_pix.shape[0] > 0:
+        fb = fb.at[splat_pix.reshape(-1)].add(
+            splat_rgb.reshape(-1, 3))
+    return fb[: w * h], nrays
+
+
+@partial(jax.jit, static_argnames=("cfg", "spp_chunk"))
+def render_chunk(scene: SceneData, cam_consts, cfg: BDPTConfig, key,
+                 spp_chunk: int = 1):
+    """Render `spp_chunk` full-image samples, accumulating a framebuffer.
+
+    The returned buffer is already divided by cfg.spp (total), so summing
+    all chunks yields the final image (reference accumulation:
+    renderer.cpp:183-207)."""
+    w, h = cfg.width, cfg.height
+    pixel_idx = jnp.arange(w * h, dtype=jnp.int32)
+
+    def body(carry, s):
+        fb, nrays = carry
+        fb_s, nr = render_sample(
+            scene, cam_consts, cfg, jax.random.fold_in(key, s), pixel_idx
+        )
+        return (fb + fb_s, nrays + nr), None
+
+    (fb, nrays), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((w * h, 3), jnp.float32), jnp.int32(0)),
+        jnp.arange(spp_chunk),
+    )
+    return fb, nrays
+
+
+def render_image(scene: SceneData, camera, cfg: BDPTConfig, seed: int = 0,
+                 spp_chunk: int = 4):
+    """Host-side driver: loop spp in chunks, return (H, W, 3) image and
+    total ray count."""
+    cam_consts = camera.device_constants()
+    fb = jnp.zeros((cfg.width * cfg.height, 3), jnp.float32)
+    total_rays = 0
+    key = jax.random.key(seed)
+    done = 0
+    while done < cfg.spp:
+        n = min(spp_chunk, cfg.spp - done)
+        fb_c, nr = render_chunk(
+            scene, cam_consts, cfg, jax.random.fold_in(key, done), n
+        )
+        fb = fb + fb_c
+        total_rays += int(nr)
+        done += n
+    img = fb.reshape(cfg.height, cfg.width, 3)
+    return img, total_rays
