@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core import warp
@@ -209,9 +210,10 @@ def sample_bsdf(mat: MaterialTable, mid, wo, u2) -> BsdfSample:
     """
     lane = gather_lane(mat, mid)
     k = lane.kind
+    sg = jax.lax.stop_gradient
 
     # Diffuse (reference: diffuse.h:52-61).
-    wi_d = warp.square_to_cosine_hemisphere(u2)
+    wi_d = sg(warp.square_to_cosine_hemisphere(u2))
     pdf_d = warp.square_to_cosine_hemisphere_pdf(wi_d)
     val_d = _diffuse_eval(lane, wo, wi_d)
 
@@ -224,23 +226,29 @@ def sample_bsdf(mat: MaterialTable, mid, wo, u2) -> BsdfSample:
     wi_g, val_g, pdf_g = _glass_sample(lane, wo, u2)
 
     # Phong (reference: phong.h:90-105): sample only the specular lobe.
+    # Sampled directions are detached at the point of construction
+    # (detached-sampling estimator): parameter-dependent warps (exponent,
+    # spec_weight) must not leak gradients through val/pdf, and their
+    # clamped-sqrt corners would produce NaN partials on unselected lanes.
     refl_frame = make_frame(reflect_local(wo))
-    lobe = warp.square_to_phong_lobe(u2, lane.shininess)
-    pdf_p = warp.square_to_phong_lobe_pdf(lobe, lane.shininess)
+    lobe = sg(warp.square_to_phong_lobe(u2, lane.shininess))
+    pdf_p = warp.square_to_phong_lobe_pdf(lobe, sg(lane.shininess))
     wi_p = frame_to_world(refl_frame, lobe)
     val_p = _phong_like_eval(lane, wo, wi_p)
 
     # Mixture (reference: mixture.h:102-151): pick lobe by spec_weight with
     # sample reuse/rescale; pdf is the full mixture pdf.
     w = lane.spec_weight
-    pick_spec = u2[..., 0] < w
-    ux_spec = u2[..., 0] / jnp.maximum(w, 1e-12)
-    ux_diff = (u2[..., 0] - w) / jnp.maximum(1.0 - w, 1e-12)
+    pick_spec = u2[..., 0] < sg(w)
+    ux_spec = jnp.clip(u2[..., 0] / jnp.maximum(sg(w), 1e-12), 0.0, 1.0)
+    ux_diff = jnp.clip(
+        (u2[..., 0] - sg(w)) / jnp.maximum(1.0 - sg(w), 1e-12), 0.0, 1.0
+    )
     u_spec = jnp.stack([ux_spec, u2[..., 1]], axis=-1)
     u_diff = jnp.stack([ux_diff, u2[..., 1]], axis=-1)
-    lobe_mx = warp.square_to_phong_lobe(u_spec, lane.shininess)
+    lobe_mx = sg(warp.square_to_phong_lobe(u_spec, lane.shininess))
     wi_mx_spec = frame_to_world(refl_frame, lobe_mx)
-    wi_mx_diff = warp.square_to_cosine_hemisphere(u_diff)
+    wi_mx_diff = sg(warp.square_to_cosine_hemisphere(u_diff))
     wi_mx = jnp.where(pick_spec[..., None], wi_mx_spec, wi_mx_diff)
     pdf_mx = _mixture_pdf(lane, wo, wi_mx)
     val_mx = _phong_like_eval(lane, wo, wi_mx)
@@ -262,5 +270,13 @@ def sample_bsdf(mat: MaterialTable, mid, wo, u2) -> BsdfSample:
     pdf = jnp.where(k == MIRROR, pdf_m, pdf)
     pdf = jnp.where(k == GLASS, pdf_g, pdf)
     pdf = jnp.where(k == MIXTURE, pdf_mx, pdf)
+
+    # Detached-sampling gradients (SURVEY.md section 7): the sampled
+    # direction and its pdf are stopped so parameter gradients flow only
+    # through the integrand (value); this keeps BVH traversal outside the
+    # differentiation graph and the estimator unbiased for the detached
+    # estimator family.
+    wi = jax.lax.stop_gradient(wi)
+    pdf = jax.lax.stop_gradient(pdf)
 
     return BsdfSample(wi=wi, value=val, pdf=pdf, delta=is_delta(lane))

@@ -1,0 +1,130 @@
+"""Command-line renderer: `python -m bpt_tpu.cli <scene.toml>`.
+
+Matches the reference CLI semantics (reference: src/main.cpp:160-181):
+one positional TOML scene file; the EXR is written next to the TOML with
+the same stem (integrator.cpp:26-30); elapsed wall time is printed
+(main.cpp:146-152).  Extras over the reference: --checkpoint/--resume
+(SURVEY.md section 5), --seed, --spp-chunk, --out.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="bpt_tpu", description="TPU-native bidirectional path tracer"
+    )
+    ap.add_argument("scene", help="scene .toml file")
+    ap.add_argument("nogui", nargs="?", default=None,
+                    help="accepted for reference-CLI compatibility")
+    ap.add_argument("--out", default=None, help="output EXR path")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--spp-chunk", type=int, default=4)
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint file; resume if it exists")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from .core.camera import Camera
+    from .integrators.bdpt import BDPTConfig, render_chunk
+    from .integrators.direct import DirectConfig, render_image_direct
+    from .integrators.misc import MiscConfig, render_image_misc
+    from .integrators.path import PathConfig, render_image_path
+    from .io.checkpoint import load_checkpoint, save_checkpoint
+    from .io.exr import write_exr
+    from .scene.scene import load_scene
+    from .scene.toml_config import load_toml
+
+    cfg_t = load_toml(args.scene)
+    if cfg_t.realtime:
+        print(
+            "realtime (OpenGL) mode is not supported by the TPU renderer; "
+            "use the offline integrators", file=sys.stderr,
+        )
+        return 1
+
+    t_load = time.time()
+    scene, meta = load_scene(cfg_t.obj_file)
+    print(f"Found {meta.n_shapes} shapes, {meta.n_triangles} triangles, "
+          f"{meta.n_emitters} emitters; BVH {meta.bvh_nodes} nodes "
+          f"({time.time() - t_load:.2f}s)")
+
+    out_path = args.out or os.path.splitext(args.scene)[0] + ".exr"
+
+    t0 = time.time()
+    if cfg_t.integrator == "bdpt":
+        cfg = BDPTConfig(
+            width=cfg_t.width, height=cfg_t.height, spp=cfg_t.spp,
+            rr_depth=cfg_t.rr_depth, rr_prob=cfg_t.rr_prob,
+        )
+        cam_consts = cfg_t.camera.device_constants()
+        key = jax.random.key(args.seed)
+        fb = np.zeros((cfg.width * cfg.height, 3), np.float32)
+        done = 0
+        if args.checkpoint:
+            ck = load_checkpoint(args.checkpoint)
+            if ck is not None:
+                fb, seed_ck, done, _ = ck
+                print(f"resumed at {done}/{cfg.spp} spp")
+        while done < cfg.spp:
+            n = min(args.spp_chunk, cfg.spp - done)
+            fb_c, _ = render_chunk(
+                scene, cam_consts, cfg, key, n, sample_offset=done
+            )
+            fb = fb + np.asarray(fb_c)
+            done += n
+            if args.checkpoint:
+                save_checkpoint(args.checkpoint, fb, args.seed, done,
+                                cfg.spp)
+            print(f"\r{done}/{cfg.spp} spp", end="", flush=True)
+        print()
+        img = fb.reshape(cfg.height, cfg.width, 3)
+    elif cfg_t.integrator == "path":
+        cfg = PathConfig(
+            width=cfg_t.width, height=cfg_t.height, spp=cfg_t.spp,
+            is_explicit=cfg_t.is_explicit, max_depth=cfg_t.max_depth,
+            rr_depth=cfg_t.rr_depth, rr_prob=cfg_t.rr_prob,
+            emitter_samples=cfg_t.emitter_samples,
+            bsdf_samples=cfg_t.bsdf_samples,
+        )
+        img, _ = render_image_path(scene, cfg_t.camera, cfg, seed=args.seed,
+                                   spp_chunk=args.spp_chunk)
+        img = np.asarray(img)
+    elif cfg_t.integrator == "direct":
+        cfg = DirectConfig(
+            width=cfg_t.width, height=cfg_t.height, spp=cfg_t.spp,
+            strategy=cfg_t.sampling_strategy,
+            emitter_samples=cfg_t.emitter_samples,
+            bsdf_samples=cfg_t.bsdf_samples,
+        )
+        img, _ = render_image_direct(scene, meta, cfg_t.camera, cfg,
+                                     seed=args.seed)
+        img = np.asarray(img)
+    elif cfg_t.integrator in ("normal", "simple", "ao", "ro"):
+        cfg = MiscConfig(
+            width=cfg_t.width, height=cfg_t.height, spp=cfg_t.spp,
+            integrator=cfg_t.integrator, exponent=cfg_t.exponent,
+        )
+        img, _ = render_image_misc(scene, meta, cfg_t.camera, cfg,
+                                   seed=args.seed)
+        img = np.asarray(img)
+    else:
+        print(f"Invalid integrator type: {cfg_t.integrator}",
+              file=sys.stderr)
+        return 1
+
+    print(f"Render took: {time.time() - t0:.2f} seconds.")
+    write_exr(out_path, img)
+    print(f"Saved EXR image to {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -135,11 +135,14 @@ def fresnel_dielectric(eta_i, eta_t, cos_i, cos_t):
     """
     eta = eta_i / eta_t
     sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
-    r_par = ((eta_t * cos_i) - (eta_i * cos_t)) / (
-        (eta_t * cos_i) + (eta_i * cos_t)
-    )
-    r_perp = ((eta_i * cos_i) - (eta_t * cos_t)) / (
-        (eta_i * cos_i) + (eta_t * cos_t)
-    )
+    # Guard the grazing + TIR corner (cos_i == cos_t == 0) where both
+    # denominators vanish; the result is overridden to 1 below anyway, but
+    # a NaN here would poison autodiff through jnp.where.
+    d_par = (eta_t * cos_i) + (eta_i * cos_t)
+    d_perp = (eta_i * cos_i) + (eta_t * cos_t)
+    d_par = jnp.where(jnp.abs(d_par) < 1e-12, 1.0, d_par)
+    d_perp = jnp.where(jnp.abs(d_perp) < 1e-12, 1.0, d_perp)
+    r_par = ((eta_t * cos_i) - (eta_i * cos_t)) / d_par
+    r_perp = ((eta_i * cos_i) - (eta_t * cos_t)) / d_perp
     fr = 0.5 * (r_par * r_par + r_perp * r_perp)
     return jnp.where(sin2_t >= 1.0, 1.0, fr)

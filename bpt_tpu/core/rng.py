@@ -3,9 +3,11 @@
 The reference shares one Mersenne-Twister across all threads (with an
 acknowledged data race; reference: src/core/renderer.cpp:155-160,
 src/core/math.h:63-76).  The TPU build replaces this with JAX's counter-based
-threefry keys: every (pixel-sample, depth, purpose) tuple gets its own stream,
-so renders are deterministic and reproducible by construction regardless of
-device count or sharding (SURVEY.md section 2.7).
+threefry keys with one key chain per *lane identity*: every
+(pixel, sample, depth, purpose) tuple gets its own stream.  Randomness is a
+function of pixel identity -- NOT of array position -- so renders are
+bit-identical regardless of batch slicing or device count
+(SURVEY.md section 2.7, determinism row).
 """
 from __future__ import annotations
 
@@ -23,20 +25,33 @@ PIXEL_JITTER = 7
 NEE_SELECT = 8
 NEE_POSITION = 9
 NEE_FACE = 10
+LIGHT_WALK = 100
+NEE_WALK = 200
+EYE_WALK = 300
 
 
 def stream(key, *ids):
-    """Derive a sub-key by folding in a sequence of integer tags."""
+    """Derive a sub-key from a scalar key by folding in integer tags."""
     for i in ids:
         key = jax.random.fold_in(key, i)
     return key
 
 
-def uniform1(key, shape):
-    """U[0,1) floats."""
-    return jax.random.uniform(key, shape, dtype=jnp.float32)
+def lane_keys(key, lane_ids):
+    """(B,) keys: one per lane identity (e.g. pixel index)."""
+    return jax.vmap(lambda i: jax.random.fold_in(key, i))(lane_ids)
 
 
-def uniform2(key, shape):
-    """U[0,1)^2 samples of shape (*shape, 2)."""
-    return jax.random.uniform(key, (*shape, 2), dtype=jnp.float32)
+def lane_fold(keys, tag):
+    """Fold a (traced or static) scalar tag into a (B,) key array."""
+    return jax.vmap(lambda k: jax.random.fold_in(k, tag))(keys)
+
+
+def uniform1(keys):
+    """One U[0,1) float per lane key -> (B,)."""
+    return jax.vmap(lambda k: jax.random.uniform(k, (), jnp.float32))(keys)
+
+
+def uniform2(keys):
+    """U[0,1)^2 per lane key -> (B, 2)."""
+    return jax.vmap(lambda k: jax.random.uniform(k, (2,), jnp.float32))(keys)

@@ -93,7 +93,14 @@ def square_to_phong_lobe(u, exponent):
 
 def square_to_phong_lobe_pdf(v, exponent):
     """(n+2)/(2 pi) cos^n(theta) for z >= 0 else 0
-    (reference: math.h:221-227)."""
+    (reference: math.h:221-227).
+
+    Reference quirk, replicated for parity: this is NOT the true density of
+    `square_to_phong_lobe` (which is (n+2)/(2 pi) cos^(n+1)); it integrates
+    to (n+2)/(n+1) over the hemisphere, not 1.  The reference uses this
+    function consistently for both its Phong sample() weights and its MIS
+    reverse pdfs, so the bias largely cancels in importance weights but is
+    part of the estimator's definition."""
     z = v[..., 2]
     return jnp.where(
         z >= 0.0,

@@ -102,17 +102,18 @@ def _rr_probability(cfg: BDPTConfig, depth, throughput):
     (reference: bdpt.h:129-132, 201-204)."""
     if cfg.no_rr:
         return jnp.ones(throughput.shape[:-1], jnp.float32)
-    lum_low = luminance(throughput) < 0.01
+    lum_low = jax.lax.stop_gradient(luminance(throughput)) < 0.01
     rr = jnp.where(lum_low, 0.5, 1.0)
     return jnp.where(depth + 1 < cfg.rr_depth, 1.0, rr)
 
 
-def _continue_walk(scene, key, it, rr_prob, throughput, vc, vcm, alive):
+def _continue_walk(scene, lkeys, it, rr_prob, throughput, vc, vcm, alive):
     """ContinuePathRandomWalk (reference: bdpt.h:243-291).
 
     Returns (new_ray_o, new_ray_d, throughput, vc, vcm, alive, wi_local).
     """
-    u2 = rng.uniform2(rng.stream(key, rng.BSDF_SAMPLE), it.wo.shape[:-1])
+    thr_in, vc_in, vcm_in = throughput, vc, vcm
+    u2 = rng.uniform2(rng.lane_fold(lkeys, rng.BSDF_SAMPLE))
     s = bsdf.sample_bsdf(scene.mat, it.mat_id, it.wo, u2)
     pdf_w = s.pdf * rr_prob
     abs_cos_out = jnp.abs(s.wi[..., 2])
@@ -133,8 +134,12 @@ def _continue_walk(scene, key, it, rr_prob, throughput, vc, vcm, alive):
     vcm = jnp.where(s.delta, 0.0, 1.0 / safe_pdf)
 
     d_world = frame_to_world(it.frame_ns, s.wi)
-    alive = alive & ~dead
-    return it.p, d_world, throughput, vc, vcm, alive, s.wi
+    alive_out = alive & ~dead
+    # Freeze state on lanes that terminate here (or were already dead).
+    throughput = jnp.where(alive_out[..., None], throughput, thr_in)
+    vc = jnp.where(alive_out, vc, vc_in)
+    vcm = jnp.where(alive_out, vcm, vcm_in)
+    return it.p, d_world, throughput, vc, vcm, alive_out, s.wi
 
 
 def _visible(scene, start, end):
@@ -173,15 +178,17 @@ def _connect_to_camera(scene, cam_consts, cfg: BDPTConfig, it, throughput,
     n_vis = jnp.sum(ok)
     ok &= ~occluded
 
+    # Safe-masked denominators: rejected lanes must stay finite all the way
+    # through, or their NaN/inf would poison gradients via jnp.where.
     vnpd = cam_consts["vnpd"]
-    img_pt_dist = vnpd / jnp.maximum(cos_cam, 1e-20)
-    image_area_to_solid = img_pt_dist * img_pt_dist / jnp.maximum(
-        cos_cam, 1e-20)
+    cos_safe = jnp.where(ok, cos_cam, 1.0)
+    img_pt_dist = vnpd / cos_safe
+    image_area_to_solid = img_pt_dist * img_pt_dist / cos_safe
     cam_solid_to_area = wi_local[..., 2] * inv_d2
     image_to_surf = image_area_to_solid * cam_solid_to_area
 
     n_light = float(w * h)
-    safe_z = jnp.maximum(wi_local[..., 2], 1e-20)
+    safe_z = jnp.where(ok, jnp.maximum(wi_local[..., 2], 1e-20), 1.0)
     radiance = (
         throughput
         * f
@@ -197,7 +204,8 @@ def _connect_to_camera(scene, cam_consts, cfg: BDPTConfig, it, throughput,
         bsdf.pdf_bsdf(scene.mat, it.mat_id, wi_local, it.wo) * rr_prob
     )
     light_weight = (reverse_pdf_a / n_light) * (vcm + prev_rev_pdf * vc)
-    mis = 1.0 / (light_weight + 1.0)
+    light_weight = jnp.nan_to_num(light_weight, nan=jnp.inf)
+    mis = jax.lax.stop_gradient(1.0 / (light_weight + 1.0))
     if cfg.mode == "bdpt":
         radiance = radiance * mis[..., None]
 
@@ -207,17 +215,17 @@ def _connect_to_camera(scene, cam_consts, cfg: BDPTConfig, it, throughput,
     return pixel, radiance, n_vis
 
 
-def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, key, b,
+def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, b,
                        primary_alive):
-    """Light walk (reference: bdpt.h:158-217).
+    """Light walk (reference: bdpt.h:158-217).  `lkeys` is the per-lane key
+    array for this sample.
 
     Returns (slots: LightVertexSlots, splat_pixels (L,B), splat_rgb (L,B,3),
     ray_count)."""
     l = cfg.n_steps
-    es = sample_emitter_position(
-        scene, rng.stream(key, 100), (b,)
-    )
-    u_dir = rng.uniform2(rng.stream(key, rng.EMITTER_DIRECTION), (b,))
+    lk = rng.lane_fold(lkeys, rng.LIGHT_WALK)
+    es = sample_emitter_position(scene, lk)
+    u_dir = rng.uniform2(rng.lane_fold(lk, rng.EMITTER_DIRECTION))
     from ..core import warp as _warp
 
     dir_local = _warp.square_to_uniform_hemisphere(u_dir)
@@ -250,10 +258,10 @@ def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, key, b,
 
     def step(carry, depth):
         o, d, throughput, vc, vcm, alive, rr_prev, nrays = carry
-        kd = jax.random.fold_in(key, depth)
+        kd = rng.lane_fold(lk, depth)
 
         if not cfg.no_rr:
-            u_rr = rng.uniform1(rng.stream(kd, rng.RR), (b,))
+            u_rr = rng.uniform1(rng.lane_fold(kd, rng.RR))
             alive = alive & ((depth < cfg.rr_depth) | (u_rr < rr_prev))
 
         nrays = nrays + jnp.sum(alive)
@@ -263,8 +271,11 @@ def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, key, b,
 
         dist2 = hit.t * hit.t
         abs_cos_in = jnp.maximum(jnp.abs(it.wo[..., 2]), 1e-20)
-        vcm = vcm * dist2 / abs_cos_in  # bdpt.h:196
-        vc = vc / abs_cos_in            # bdpt.h:197
+        # Freeze dead lanes' MIS state: letting it keep updating can
+        # overflow to inf across scan steps and poison gradients via
+        # 0*inf in downstream weights.
+        vcm = jnp.where(alive, vcm * dist2 / abs_cos_in, vcm)  # bdpt.h:196
+        vc = jnp.where(alive, vc / abs_cos_in, vc)             # bdpt.h:197
 
         rr_prob = _rr_probability(cfg, depth, throughput)
         lane = bsdf.gather_lane(scene.mat, it.mat_id)
@@ -303,11 +314,11 @@ def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, key, b,
     return slots, pix, rgb, carry[-1]
 
 
-def _connect_to_light(scene, cfg: BDPTConfig, key, it, throughput, vcm, vc,
+def _connect_to_light(scene, cfg: BDPTConfig, lkeys, it, throughput, vcm, vc,
                       rr_prob, active):
     """s=1 next-event estimation (reference: bdpt.h:374-430,
     VCM Eqs. 44-45). Returns (contribution (B,3), n_vis)."""
-    es = sample_emitter_position(scene, rng.stream(key, 200), it.p.shape[:1])
+    es = sample_emitter_position(scene, rng.lane_fold(lkeys, rng.NEE_WALK))
 
     l2e = it.p - es.pos
     dist2 = jnp.maximum(length2(l2e), 1e-20)
@@ -319,7 +330,9 @@ def _connect_to_light(scene, cfg: BDPTConfig, key, it, throughput, vcm, vc,
     ok = active & (cos_at_light > 0.0) & (cos_at_eye > 0.0)
 
     connect_pdf_a = es.select_pdf * es.pos_pdf
-    connect_pdf_w = connect_pdf_a * dist2 / jnp.maximum(cos_at_light, 1e-20)
+    # Safe-masked denominator (rejected lanes must stay finite for AD).
+    cos_safe = jnp.where(ok, jnp.maximum(cos_at_light, 1e-20), 1.0)
+    connect_pdf_w = connect_pdf_a * dist2 / cos_safe
     dir_pdf_w = INV_TWOPI  # squareToUniformHemispherePdf
 
     f = bsdf.eval_bsdf(scene.mat, it.mat_id, it.wo, wi_local)
@@ -343,8 +356,10 @@ def _connect_to_light(scene, cfg: BDPTConfig, key, it, throughput, vcm, vc,
     )
     eye_cur_rev_pdf_a = cos_at_eye / dist2 * dir_pdf_w
     eye_weight = eye_cur_rev_pdf_a * (vcm + eye_prev_rev_pdf_w * vc)
+    light_weight = jnp.nan_to_num(light_weight, nan=jnp.inf)
+    eye_weight = jnp.nan_to_num(eye_weight, nan=jnp.inf)
 
-    mis = 1.0 / (light_weight + 1.0 + eye_weight)
+    mis = jax.lax.stop_gradient(1.0 / (light_weight + 1.0 + eye_weight))
     if cfg.mode == "bdpt":
         li = li * mis[..., None]
     return jnp.where(ok[..., None], li, 0.0), n_vis
@@ -383,15 +398,17 @@ def _connect_vertices(scene, lv_p, lv_ns, lv_wo, lv_thr, lv_vcm, lv_vc,
 
     light_rev_a = pdf_e2l * cos_l * inv_d2
     eye_rev_a = pdf_l2e * cos_e * inv_d2
-    light_weight = light_rev_a * (lv_vcm + pdf_l_prev * lv_vc)
-    eye_weight = eye_rev_a * (vcm + pdf_e_prev * vc)
-    mis = 1.0 / (light_weight + 1.0 + eye_weight)
+    light_weight = jnp.nan_to_num(
+        light_rev_a * (lv_vcm + pdf_l_prev * lv_vc), nan=jnp.inf)
+    eye_weight = jnp.nan_to_num(
+        eye_rev_a * (vcm + pdf_e_prev * vc), nan=jnp.inf)
+    mis = jax.lax.stop_gradient(1.0 / (light_weight + 1.0 + eye_weight))
 
     li = li * mis[..., None]
     return jnp.where(ok[..., None], li, 0.0), n_vis
 
 
-def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, key, primary_d,
+def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
                      slots: LightVertexSlots):
     """Eye walk (reference: bdpt.h:46-155). Returns (Li (B,3), ray_count)."""
     b = primary_d.shape[0]
@@ -418,10 +435,10 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, key, primary_d,
     def step(carry, depth):
         (o, d, throughput, vc, vcm, alive, rr_prev, pure_spec, li,
          nrays) = carry
-        kd = jax.random.fold_in(rng.stream(key, 300), depth)
+        kd = rng.lane_fold(rng.lane_fold(lkeys, rng.EYE_WALK), depth)
 
         if not cfg.no_rr:
-            u_rr = rng.uniform1(rng.stream(kd, rng.RR), (b,))
+            u_rr = rng.uniform1(rng.lane_fold(kd, rng.RR))
             alive = alive & ((depth < cfg.rr_depth) | (u_rr < rr_prev))
 
         nrays = nrays + jnp.sum(alive)
@@ -435,8 +452,8 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, key, primary_d,
 
         dist2 = hit.t * hit.t
         abs_cos_in = jnp.maximum(jnp.abs(it.wo[..., 2]), 1e-20)
-        vcm = vcm * dist2 / abs_cos_in
-        vc = vc / abs_cos_in
+        vcm = jnp.where(alive, vcm * dist2 / abs_cos_in, vcm)
+        vc = jnp.where(alive, vc / abs_cos_in, vc)
 
         # ---- s=0: the eye path hit an emitter (bdpt.h:79-125) ----
         le = emission_at(scene, it.mat_id)
@@ -447,8 +464,9 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, key, primary_d,
         # Replicated verbatim: 1/(area*emitterPdf) (bdpt.h:87).
         pos_pdf_a = 1.0 / (em_area * emitter_pdf)
         dir_pdf_w = INV_TWOPI
-        camera_weight = pos_pdf_a * vcm + (pos_pdf_a * dir_pdf_w) * vc
-        mis_s0 = 1.0 / (1.0 + camera_weight)
+        camera_weight = jnp.nan_to_num(
+            pos_pdf_a * vcm + (pos_pdf_a * dir_pdf_w) * vc, nan=jnp.inf)
+        mis_s0 = jax.lax.stop_gradient(1.0 / (1.0 + camera_weight))
 
         contrib = scene.emitters.radiance[em_id] * throughput
         if cfg.mode == "bdpt":
@@ -518,9 +536,10 @@ def render_sample(scene: SceneData, cam_consts, cfg: BDPTConfig, key,
     b = pixel_idx.shape[0]
     w, h = cfg.width, cfg.height
 
+    lkeys = rng.lane_keys(key, pixel_idx)
     jitter = None
     if cfg.spp > 1:
-        jitter = rng.uniform2(rng.stream(key, rng.PIXEL_JITTER), (b,))
+        jitter = rng.uniform2(rng.lane_fold(lkeys, rng.PIXEL_JITTER))
     o, d = generate_rays(cam_consts, w, h, pixel_idx, jitter)
 
     primary_hit = trace_closest(scene.geom, o, d, cfg.near, cfg.far)
@@ -529,7 +548,7 @@ def render_sample(scene: SceneData, cam_consts, cfg: BDPTConfig, key,
 
     if cfg.mode in ("bdpt", "light_trace"):
         slots, splat_pix, splat_rgb, nr_l = light_subpath_walk(
-            scene, cam_consts, cfg, rng.stream(key, 400), b, primary_alive
+            scene, cam_consts, cfg, lkeys, b, primary_alive
         )
         nrays = nrays + nr_l
     else:
@@ -552,7 +571,7 @@ def render_sample(scene: SceneData, cam_consts, cfg: BDPTConfig, key,
         nr_e = jnp.int32(0)
     else:
         li, nr_e = eye_subpath_walk(
-            scene, cam_consts, cfg, key, d, slots
+            scene, cam_consts, cfg, lkeys, d, slots
         )
         li = jnp.where(primary_alive[..., None], li, 0.0)
     nrays = nrays + nr_e
@@ -567,19 +586,22 @@ def render_sample(scene: SceneData, cam_consts, cfg: BDPTConfig, key,
 
 @partial(jax.jit, static_argnames=("cfg", "spp_chunk"))
 def render_chunk(scene: SceneData, cam_consts, cfg: BDPTConfig, key,
-                 spp_chunk: int = 1):
+                 spp_chunk: int = 1, sample_offset=0):
     """Render `spp_chunk` full-image samples, accumulating a framebuffer.
 
-    The returned buffer is already divided by cfg.spp (total), so summing
-    all chunks yields the final image (reference accumulation:
-    renderer.cpp:183-207)."""
+    Sample s gets key fold_in(key, sample_offset + s), so the estimate is
+    invariant to chunking and to device sharding (the same convention is
+    used by parallel/mesh.py).  The returned buffer is already divided by
+    cfg.spp (total), so summing all chunks yields the final image
+    (reference accumulation: renderer.cpp:183-207)."""
     w, h = cfg.width, cfg.height
     pixel_idx = jnp.arange(w * h, dtype=jnp.int32)
 
     def body(carry, s):
         fb, nrays = carry
         fb_s, nr = render_sample(
-            scene, cam_consts, cfg, jax.random.fold_in(key, s), pixel_idx
+            scene, cam_consts, cfg,
+            jax.random.fold_in(key, sample_offset + s), pixel_idx
         )
         return (fb + fb_s, nrays + nr), None
 
@@ -603,7 +625,7 @@ def render_image(scene: SceneData, camera, cfg: BDPTConfig, seed: int = 0,
     while done < cfg.spp:
         n = min(spp_chunk, cfg.spp - done)
         fb_c, nr = render_chunk(
-            scene, cam_consts, cfg, jax.random.fold_in(key, done), n
+            scene, cam_consts, cfg, key, n, sample_offset=done
         )
         fb = fb + fb_c
         total_rays += int(nr)

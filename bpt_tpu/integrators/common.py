@@ -81,14 +81,16 @@ def select_emitter(scene: SceneData, u):
     return em_id, jnp.full_like(u, 1.0 / n)
 
 
-def sample_emitter_position(scene: SceneData, key, batch_shape) -> EmitterSample:
+def sample_emitter_position(scene: SceneData, lkeys) -> EmitterSample:
     """selectEmitter + sampleEmitterPosition (reference:
     integrator.cpp:46-51, 73-100): face from the per-emitter area CDF,
-    uniform-triangle warp, barycentric position + normal, pdf = 1/area."""
-    u_sel = rng.uniform1(rng.stream(key, rng.EMITTER_SELECT), batch_shape)
+    uniform-triangle warp, barycentric position + normal, pdf = 1/area.
+
+    `lkeys` is a (B,) per-lane key array (see core/rng.py)."""
+    u_sel = rng.uniform1(rng.lane_fold(lkeys, rng.EMITTER_SELECT))
     em_id, select_pdf = select_emitter(scene, u_sel)
 
-    u_face = rng.uniform1(rng.stream(key, rng.EMITTER_FACE), batch_shape)
+    u_face = rng.uniform1(rng.lane_fold(lkeys, rng.EMITTER_FACE))
     cdf = scene.emitters.face_cdf[em_id]  # (B, F+1)
     # std::upper_bound(cdf, u) - 1 semantics, clamped (math.h:107-111).
     face = jnp.sum(cdf <= u_face[:, None], axis=-1) - 1
@@ -96,7 +98,7 @@ def sample_emitter_position(scene: SceneData, key, batch_shape) -> EmitterSample
     face = jnp.clip(face, 0, nf - 1)
     tri = scene.emitters.face_tri[em_id, face]
 
-    uv = rng.uniform2(rng.stream(key, rng.EMITTER_POSITION), batch_shape)
+    uv = rng.uniform2(rng.lane_fold(lkeys, rng.EMITTER_POSITION))
     buv = warp.square_to_uniform_triangle(uv)
     bu, bv = buv[..., 0], buv[..., 1]
 

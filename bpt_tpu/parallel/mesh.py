@@ -1,0 +1,99 @@
+"""Multi-chip rendering: pixel-tile + sample sharding over a device mesh.
+
+Replaces the reference's single-node std::thread fan-out with a per-pixel
+mutex framebuffer (reference: src/core/parallelfor.h:25-66,
+src/main.cpp:137-143) by the TPU-native scheme from SURVEY.md section 2.7:
+
+  * mesh axes ('dp', 'sp'): 'dp' shards pixel-sample lanes, 'sp' shards
+    spp chunks;
+  * every device scatter-adds into a *local* framebuffer copy (light-subpath
+    splats can land on any pixel, bdpt.h:295-371), then one `psum` over both
+    axes merges them -- the lock-free equivalent of the reference's
+    g_FrameBufferLocks;
+  * RNG is counter-based per (pixel, sample), so the sharded render is
+    bit-identical in expectation to the single-device render and
+    deterministic for a fixed mesh shape.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..integrators.bdpt import BDPTConfig, render_sample
+from ..scene.scene import SceneData
+
+
+def make_mesh(n_dp: int = None, n_sp: int = 1, devices=None) -> Mesh:
+    """('dp', 'sp') mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_dp is None:
+        n_dp = len(devices) // n_sp
+    devices = np.asarray(devices[: n_dp * n_sp]).reshape(n_dp, n_sp)
+    return Mesh(devices, ("dp", "sp"))
+
+
+def render_chunk_sharded(scene: SceneData, cam_consts, cfg: BDPTConfig,
+                         mesh: Mesh, key, spp_chunk: int):
+    """Render `spp_chunk * n_sp` samples per pixel, sharded over the mesh.
+
+    Pixel lanes are sharded on 'dp' (requires W*H divisible by the dp axis
+    size); each 'sp' slice renders its own disjoint set of sample indices.
+    Returns the replicated framebuffer sum (weighted by 1/cfg.spp per
+    sample, matching renderer.cpp:202) and the total ray count.
+    """
+    w, h = cfg.width, cfg.height
+    n_pix = w * h
+    n_dp = mesh.shape["dp"]
+    if n_pix % n_dp != 0:
+        raise ValueError(
+            f"pixel count {n_pix} must be divisible by dp axis {n_dp}"
+        )
+    pixel_idx = jnp.arange(n_pix, dtype=jnp.int32)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("dp"),),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    def shard_fn(pix):
+        sp_i = jax.lax.axis_index("sp")
+        fb = jnp.zeros((n_pix, 3), jnp.float32)
+        nrays = jnp.int32(0)
+
+        def body(carry, s):
+            fb, nrays = carry
+            sample_idx = sp_i * spp_chunk + s
+            k = jax.random.fold_in(key, sample_idx)
+            fb_s, nr = render_sample(scene, cam_consts, cfg, k, pix)
+            return (fb + fb_s, nrays + nr), None
+
+        (fb, nrays), _ = jax.lax.scan(
+            body, (fb, nrays), jnp.arange(spp_chunk))
+        # The all-reduce that replaces the reference's per-pixel mutexes.
+        fb = jax.lax.psum(fb, ("dp", "sp"))
+        nrays = jax.lax.psum(nrays, ("dp", "sp"))
+        return fb, nrays
+
+    return shard_fn(pixel_idx)
+
+
+def render_image_sharded(scene: SceneData, camera, cfg: BDPTConfig,
+                         mesh: Mesh, seed: int = 0):
+    """Full sharded render: spp split across the 'sp' axis."""
+    n_sp = mesh.shape["sp"]
+    if cfg.spp % n_sp != 0:
+        raise ValueError(f"spp {cfg.spp} must be divisible by sp axis {n_sp}")
+    cam_consts = camera.device_constants()
+    key = jax.random.key(seed)
+    fn = partial(render_chunk_sharded, cfg=cfg, mesh=mesh,
+                 spp_chunk=cfg.spp // n_sp)
+    fb, nrays = jax.jit(fn)(scene, cam_consts, key=key)
+    return fb.reshape(cfg.height, cfg.width, 3), int(nrays)

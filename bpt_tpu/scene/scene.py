@@ -35,6 +35,7 @@ class EmitterTable(NamedTuple):
     radiance: jnp.ndarray   # (E, 3)
     area: jnp.ndarray       # (E,)
     shape_id: jnp.ndarray   # (E,)
+    mat_id: jnp.ndarray     # (E,) material providing Ke (for param rebind)
     face_cdf: jnp.ndarray   # (E, Fmax + 1)
     face_tri: jnp.ndarray   # (E, Fmax) BVH-order triangle index
 
@@ -184,31 +185,34 @@ def build_scene(obj: ObjData) -> tuple[SceneData, SceneMeta]:
         if first_mat >= 0:
             ke = obj.materials[first_mat].emission
             if float(np.dot(ke, ke)) > 0.0:
-                em_shapes.append((i, ke))
+                em_shapes.append((i, ke, first_mat))
 
     e = len(em_shapes)
     fmax = 1
     per_emitter = []
-    for i, ke in em_shapes:
+    for i, ke, first_mat in em_shapes:
         tri_sel = np.nonzero(shape_id == i)[0]  # original order
         va, vb, vc = v0[tri_sel], v1[tri_sel], v2[tri_sel]
         cr = np.cross(vb - va, vc - va)
         areas = 0.5 * np.sqrt(np.sum(cr * cr, axis=-1))
         total = float(areas.sum())
         cdf = np.concatenate([[0.0], np.cumsum(areas)]) / max(total, 1e-30)
-        per_emitter.append((i, ke, total, cdf, inv_perm[tri_sel]))
+        per_emitter.append((i, ke, first_mat, total, cdf,
+                            inv_perm[tri_sel]))
         fmax = max(fmax, len(tri_sel))
 
     em_radiance = np.zeros((max(e, 1), 3), np.float32)
     em_area = np.ones(max(e, 1), np.float32)
     em_shape = np.full(max(e, 1), -1, np.int32)
+    em_mat = np.zeros(max(e, 1), np.int32)
     em_cdf = np.ones((max(e, 1), fmax + 1), np.float32)
     em_tri = np.zeros((max(e, 1), fmax), np.int32)
     shape_emitter = np.full(len(obj.shapes), -1, np.int32)
-    for eid, (sid, ke, total, cdf, tris) in enumerate(per_emitter):
+    for eid, (sid, ke, mid, total, cdf, tris) in enumerate(per_emitter):
         em_radiance[eid] = ke
         em_area[eid] = total
         em_shape[eid] = sid
+        em_mat[eid] = mid
         em_cdf[eid, : len(cdf)] = cdf
         em_cdf[eid, len(cdf):] = 1.0 + 1e-6  # padding strictly above 1
         em_tri[eid, : len(tris)] = tris
@@ -218,6 +222,7 @@ def build_scene(obj: ObjData) -> tuple[SceneData, SceneMeta]:
         radiance=jnp.asarray(em_radiance),
         area=jnp.asarray(em_area),
         shape_id=jnp.asarray(em_shape),
+        mat_id=jnp.asarray(em_mat),
         face_cdf=jnp.asarray(em_cdf),
         face_tri=jnp.asarray(em_tri),
     )

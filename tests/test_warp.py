@@ -45,11 +45,15 @@ def test_cosine_hemisphere_pdf_integrates_to_one():
 
 
 @pytest.mark.parametrize("exponent", [1.0, 10.0, 100.0])
-def test_phong_lobe_pdf_integrates_to_one(exponent):
+def test_phong_lobe_pdf_integral_matches_reference_quirk(exponent):
+    """The reference's phong-lobe pdf integrates to (n+2)/(n+1), not 1
+    (math.h:210-227 off-by-one between sampler and pdf) -- replicated for
+    estimator parity."""
     d = warp.square_to_uniform_sphere(_u2(KEY))
     pdf = warp.square_to_phong_lobe_pdf(d, exponent)
     est = jnp.mean(pdf / warp.square_to_uniform_sphere_pdf())
-    assert np.isclose(float(est), 1.0, rtol=5e-2)
+    expected = (exponent + 2.0) / (exponent + 1.0)
+    assert np.isclose(float(est), expected, rtol=5e-2)
 
 
 @pytest.mark.parametrize("exponent", [2.0, 30.0])
