@@ -60,13 +60,17 @@ def main():
     cam_consts = cam.device_constants()
     key = jax.random.key(7)
 
-    # Warmup / compile.
+    import numpy as np
+
+    # Warmup / compile.  NOTE: timings must end with a host fetch; on the
+    # axon relay backend block_until_ready only confirms enqueue.
     fb, nr = render_chunk(scene, cam_consts, cfg, key, 1)
-    fb.block_until_ready()
+    float(fb.sum())
 
     t0 = time.time()
     fb, nrays = render_chunk(scene, cam_consts, cfg, key, SPP)
-    fb.block_until_ready()
+    nrays = int(nrays)
+    _ = float(fb.sum())
     dt = time.time() - t0
 
     rays_per_sec = float(nrays) / dt

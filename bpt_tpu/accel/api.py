@@ -1,0 +1,23 @@
+"""Scene-level tracing dispatch.
+
+Selects the dense binned tracer (accel/binned.py, the fast TPU path) when
+the scene carries treelet arrays, falling back to the stackless skip-link
+tracer (accel/traverse.py, the correctness reference).  Both implement
+identical intersection semantics; tests/test_binned.py enforces agreement.
+"""
+from __future__ import annotations
+
+from . import binned, traverse
+
+
+def trace_closest(scene, o, d, min_t, max_t) -> traverse.Hit:
+    if getattr(scene, "treelets", None) is not None:
+        return binned.trace_closest_binned(scene.treelets, o, d, min_t,
+                                           max_t)
+    return traverse.trace_closest(scene.geom, o, d, min_t, max_t)
+
+
+def trace_any(scene, o, d, min_t, max_t):
+    if getattr(scene, "treelets", None) is not None:
+        return binned.trace_any_binned(scene.treelets, o, d, min_t, max_t)
+    return traverse.trace_any(scene.geom, o, d, min_t, max_t)

@@ -44,12 +44,24 @@ class FlatBVH:
         return self.bmin.shape[0]
 
 
-def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> FlatBVH:
+def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+              use_native: bool = True) -> FlatBVH:
     """Build over triangles given by (T, 3) vertex arrays.
 
-    Preorder recursive construction; per-node work is vectorized numpy over
-    the node's primitive slice (O(T log T) total).
+    Uses the native C++ builder (bpt_tpu/native) when its shared library is
+    built -- it produces an identical FlatBVH; otherwise the numpy preorder
+    recursive construction below (per-node work vectorized over the node's
+    primitive slice, O(T log T) total).
     """
+    if use_native:
+        try:
+            from ..native.native import build_bvh_native
+
+            native = build_bvh_native(v0, v1, v2)
+            if native is not None:
+                return native
+        except Exception:
+            pass
     t = v0.shape[0]
     lo = np.minimum(np.minimum(v0, v1), v2).astype(np.float64)
     hi = np.maximum(np.maximum(v0, v1), v2).astype(np.float64)

@@ -33,7 +33,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..accel.traverse import trace_any, trace_closest
+from ..accel.api import trace_any, trace_closest
 from ..bsdf import bsdf
 from ..core import rng
 from ..core.camera import generate_rays, splat_to_image_plane
@@ -148,7 +148,7 @@ def _visible(scene, start, end):
     seg = end - start
     dist = length(seg)
     d = seg / jnp.maximum(dist, 1e-20)[..., None]
-    return trace_any(scene.geom, start, d, EPSILON, dist - VIS_SHORTEN)
+    return trace_any(scene, start, d, EPSILON, dist - VIS_SHORTEN)
 
 
 def _connect_to_camera(scene, cam_consts, cfg: BDPTConfig, it, throughput,
@@ -265,7 +265,7 @@ def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, b,
             alive = alive & ((depth < cfg.rr_depth) | (u_rr < rr_prev))
 
         nrays = nrays + jnp.sum(alive)
-        hit = trace_closest(scene.geom, o, d, EPSILON, jnp.inf)
+        hit = trace_closest(scene, o, d, EPSILON, jnp.inf)
         alive = alive & hit.valid
         it = make_interaction(scene, d, hit)
 
@@ -446,7 +446,7 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
         # (renderer.cpp:177,192); bounce rays are unbounded.
         min_t = jnp.where(depth == 1, cfg.near, EPSILON)
         max_t = jnp.where(depth == 1, cfg.far, jnp.inf)
-        hit = trace_closest(scene.geom, o, d, min_t, max_t)
+        hit = trace_closest(scene, o, d, min_t, max_t)
         alive = alive & hit.valid
         it = make_interaction(scene, d, hit)
 
@@ -542,7 +542,7 @@ def render_sample(scene: SceneData, cam_consts, cfg: BDPTConfig, key,
         jitter = rng.uniform2(rng.lane_fold(lkeys, rng.PIXEL_JITTER))
     o, d = generate_rays(cam_consts, w, h, pixel_idx, jitter)
 
-    primary_hit = trace_closest(scene.geom, o, d, cfg.near, cfg.far)
+    primary_hit = trace_closest(scene, o, d, cfg.near, cfg.far)
     primary_alive = primary_hit.valid
     nrays = jnp.int32(b)
 

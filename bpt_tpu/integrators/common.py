@@ -11,7 +11,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..accel.traverse import Hit, trace_closest
+from ..accel.api import trace_closest
+from ..accel.traverse import Hit
 from ..core import rng, warp
 from ..core.math import barycentric, frame_to_local, make_frame, normalize
 from ..scene.scene import SceneData
@@ -125,5 +126,5 @@ def emission_at(scene: SceneData, mat_id):
 
 
 def primary_trace(scene: SceneData, o, d, near, far):
-    hit = trace_closest(scene.geom, o, d, near, far)
+    hit = trace_closest(scene, o, d, near, far)
     return hit, make_interaction(scene, d, hit)

@@ -17,7 +17,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..accel.traverse import trace_closest
+from ..accel.api import trace_closest
 from ..bsdf import bsdf
 from ..core import rng, warp
 from ..core.math import (
@@ -114,7 +114,7 @@ def render_sample_direct(scene: SceneData, lights: SphereLights, cam_consts,
         jitter = rng.uniform2(rng.lane_fold(lkeys, rng.PIXEL_JITTER))
     o, d = generate_rays(cam_consts, w, h, pixel_idx, jitter)
 
-    hit = trace_closest(scene.geom, o, d, cfg.near, cfg.far)
+    hit = trace_closest(scene, o, d, cfg.near, cfg.far)
     it = make_interaction(scene, d, hit)
     nrays = jnp.int32(b)
 
@@ -146,7 +146,7 @@ def render_sample_direct(scene: SceneData, lights: SphereLights, cam_consts,
             # Shadow ray to just short of the sampled point
             # (direct.h:178).
             occ = trace_closest(
-                scene.geom, it.p, wi_w, EPSILON,
+                scene, it.p, wi_w, EPSILON,
                 jnp.sqrt(dist2) - EPSILON).valid
             ok &= ~occ
             a2s = cos_out / dist2
@@ -161,7 +161,7 @@ def render_sample_direct(scene: SceneData, lights: SphereLights, cam_consts,
             u2 = rng.uniform2(rng.lane_fold(lk, rng.EMITTER_POSITION))
             wi_l = warp.square_to_cosine_hemisphere(u2)
             wi_w = normalize(frame_to_world(it.frame_ns, wi_l))
-            h2 = trace_closest(scene.geom, it.p, wi_w, EPSILON, jnp.inf)
+            h2 = trace_closest(scene, it.p, wi_w, EPSILON, jnp.inf)
             it2 = make_interaction(scene, wi_w, h2)
             le = emission_at(scene, it2.mat_id)
             ok = shade & h2.valid
@@ -177,7 +177,7 @@ def render_sample_direct(scene: SceneData, lights: SphereLights, cam_consts,
             u2 = rng.uniform2(rng.lane_fold(lk, rng.BSDF_SAMPLE))
             s = bsdf.sample_bsdf(scene.mat, it.mat_id, it.wo, u2)
             wi_w = frame_to_world(it.frame_ns, s.wi)
-            h2 = trace_closest(scene.geom, it.p, wi_w, EPSILON, jnp.inf)
+            h2 = trace_closest(scene, it.p, wi_w, EPSILON, jnp.inf)
             it2 = make_interaction(scene, wi_w, h2)
             le = emission_at(scene, it2.mat_id)
             ok = shade & h2.valid
@@ -209,7 +209,7 @@ def render_sample_direct(scene: SceneData, lights: SphereLights, cam_consts,
             if is_mis:
                 # MIS variant: unbounded shadow ray, shape-id check
                 # (direct.h:377-381).
-                h2 = trace_closest(scene.geom, it.p, wi_w, EPSILON, jnp.inf)
+                h2 = trace_closest(scene, it.p, wi_w, EPSILON, jnp.inf)
                 hit_shape = scene.shape_id[jnp.maximum(h2.tri, 0)]
                 vis = h2.valid & (hit_shape == em_shape)
                 vis |= ~h2.valid & _ray_sphere_hit(
@@ -218,7 +218,7 @@ def render_sample_direct(scene: SceneData, lights: SphereLights, cam_consts,
                 # solidAngle variant: shadow ray to center distance + eps
                 # (direct.h:304-330).
                 maxt = jnp.sqrt(d2c) + EPSILON
-                h2 = trace_closest(scene.geom, it.p, wi_w, EPSILON, maxt)
+                h2 = trace_closest(scene, it.p, wi_w, EPSILON, maxt)
                 hit_shape = scene.shape_id[jnp.maximum(h2.tri, 0)]
                 vis = h2.valid & (hit_shape == em_shape)
                 vis |= ~h2.valid & _ray_sphere_hit(
@@ -241,7 +241,7 @@ def render_sample_direct(scene: SceneData, lights: SphereLights, cam_consts,
                 u2 = rng.uniform2(rng.lane_fold(lk, rng.BSDF_SAMPLE))
                 s = bsdf.sample_bsdf(scene.mat, it.mat_id, it.wo, u2)
                 wi_w = frame_to_world(it.frame_ns, s.wi)
-                h2 = trace_closest(scene.geom, it.p, wi_w, EPSILON, jnp.inf)
+                h2 = trace_closest(scene, it.p, wi_w, EPSILON, jnp.inf)
                 it2 = make_interaction(scene, wi_w, h2)
                 le = emission_at(scene, it2.mat_id)
                 ok = shade & h2.valid & ~is_zero_rgb(le)

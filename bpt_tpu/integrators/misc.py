@@ -21,7 +21,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..accel.traverse import trace_any, trace_closest
+from ..accel.api import trace_any, trace_closest
 from ..bsdf import bsdf
 from ..core import rng, warp
 from ..core.math import (
@@ -62,7 +62,7 @@ def render_sample_misc(scene: SceneData, first_light_pos,
     if cfg.spp > 1:
         jitter = rng.uniform2(rng.lane_fold(lkeys, rng.PIXEL_JITTER))
     o, d = generate_rays(cam_consts, w, h, pixel_idx, jitter)
-    hit = trace_closest(scene.geom, o, d, cfg.near, cfg.far)
+    hit = trace_closest(scene, o, d, cfg.near, cfg.far)
     it = make_interaction(scene, d, hit)
     ok = hit.valid
 
@@ -73,7 +73,7 @@ def render_sample_misc(scene: SceneData, first_light_pos,
         d2 = jnp.maximum(length2(to_l), 1e-20)
         wi_w = to_l / jnp.sqrt(d2)[..., None]
         wi_l = frame_to_local(it.frame_ns, wi_w)
-        occ = trace_any(scene.geom, it.p, wi_w, EPSILON,
+        occ = trace_any(scene, it.p, wi_w, EPSILON,
                         jnp.sqrt(d2) - 1e-4)
         albedo = scene.mat.diffuse[it.mat_id]
         li = (
@@ -87,7 +87,7 @@ def render_sample_misc(scene: SceneData, first_light_pos,
         u2 = rng.uniform2(rng.lane_fold(lkeys, rng.BSDF_SAMPLE))
         wi_l = warp.square_to_cosine_hemisphere(u2)
         wi_w = frame_to_world(it.frame_ns, wi_l)
-        occ = trace_any(scene.geom, it.p, wi_w, EPSILON, jnp.inf)
+        occ = trace_any(scene, it.p, wi_w, EPSILON, jnp.inf)
         # cos/pi sampling cancels the cos/pi integrand -> visibility only.
         li = jnp.where(occ[..., None], 0.0, jnp.ones((b, 3), jnp.float32))
     elif cfg.integrator == "ro":
@@ -96,7 +96,7 @@ def render_sample_misc(scene: SceneData, first_light_pos,
         refl_frame = make_frame(reflect_local(it.wo))
         wi_l = frame_to_world(refl_frame, lobe)
         wi_w = frame_to_world(it.frame_ns, wi_l)
-        occ = trace_any(scene.geom, it.p, wi_w, EPSILON, jnp.inf)
+        occ = trace_any(scene, it.p, wi_w, EPSILON, jnp.inf)
         pdf = warp.square_to_phong_lobe_pdf(lobe, cfg.exponent)
         # (n+2)/(2pi) cos^n / pdf == 1 for the sampled lobe; weight by the
         # clamped surface cosine.

@@ -20,7 +20,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..accel.traverse import trace_closest
+from ..accel.api import trace_closest
 from ..bsdf import bsdf
 from ..core import rng
 from ..core.camera import generate_rays
@@ -93,7 +93,7 @@ def _direct_illumination(scene, cfg: PathConfig, lkeys, it, active):
 
         # The reference checks visibility by closest-hit + shape id match
         # (path.h:134-150).
-        hit = trace_closest(scene.geom, it.p, wi_w, EPSILON, jnp.inf)
+        hit = trace_closest(scene, it.p, wi_w, EPSILON, jnp.inf)
         hit_shape = scene.shape_id[jnp.maximum(hit.tri, 0)]
         em_shape = scene.emitters.shape_id[es.em_id]
         ok &= hit.valid & (hit_shape == em_shape)
@@ -123,7 +123,7 @@ def _direct_illumination(scene, cfg: PathConfig, lkeys, it, active):
         s = bsdf.sample_bsdf(scene.mat, it.mat_id, it.wo, u2)
         ok = active & ~is_zero_rgb(s.value)
         wi_w = frame_to_world(it.frame_ns, s.wi)
-        hit = trace_closest(scene.geom, it.p, wi_w, EPSILON, jnp.inf)
+        hit = trace_closest(scene, it.p, wi_w, EPSILON, jnp.inf)
         it2 = make_interaction(scene, wi_w, hit)
         le = emission_at(scene, it2.mat_id)
         ok &= hit.valid & ~is_zero_rgb(le)
@@ -165,7 +165,7 @@ def render_sample_path(scene: SceneData, cam_consts, cfg: PathConfig, key,
         jitter = rng.uniform2(rng.lane_fold(lkeys, rng.PIXEL_JITTER))
     o, d = generate_rays(cam_consts, w, h, pixel_idx, jitter)
 
-    hit = trace_closest(scene.geom, o, d, cfg.near, cfg.far)
+    hit = trace_closest(scene, o, d, cfg.near, cfg.far)
     it = make_interaction(scene, d, hit)
     nrays = jnp.int32(b)
 
@@ -207,7 +207,7 @@ def render_sample_path(scene: SceneData, cam_consts, cfg: PathConfig, key,
                 u2 = rng.uniform2(rng.lane_fold(rki, rng.BSDF_SAMPLE))
                 s = bsdf.sample_bsdf(scene.mat, it_cur.mat_id, it_cur.wo, u2)
                 wi_w = frame_to_world(it_cur.frame_ns, s.wi)
-                h2 = trace_closest(scene.geom, it_cur.p, wi_w, EPSILON,
+                h2 = trace_closest(scene, it_cur.p, wi_w, EPSILON,
                                    jnp.inf)
                 it2 = make_interaction(scene, wi_w, h2)
                 le = emission_at(scene, it2.mat_id)
@@ -264,7 +264,7 @@ def render_sample_path(scene: SceneData, cam_consts, cfg: PathConfig, key,
             u2 = rng.uniform2(rng.lane_fold(kd, rng.BSDF_SAMPLE))
             s = bsdf.sample_bsdf(scene.mat, it_cur.mat_id, it_cur.wo, u2)
             wi_w = frame_to_world(it_cur.frame_ns, s.wi)
-            h2 = trace_closest(scene.geom, it_cur.p, wi_w, EPSILON, jnp.inf)
+            h2 = trace_closest(scene, it_cur.p, wi_w, EPSILON, jnp.inf)
             nrays = nrays + jnp.sum(alive)
             it2 = make_interaction(scene, wi_w, h2)
             le = emission_at(scene, it2.mat_id)

@@ -19,8 +19,10 @@ from typing import List, NamedTuple, Optional
 import jax.numpy as jnp
 import numpy as np
 
+from ..accel.binned import TreeletGeom, make_treelet_geom
 from ..accel.build import LEAF_SIZE, build_bvh
 from ..accel.traverse import TraceGeom
+from ..accel.treelets import build_treelets
 from ..bsdf.bsdf import DIFFUSE, GLASS, MIRROR, MIXTURE, PHONG, MaterialTable
 from .obj import ObjData, load_obj
 
@@ -57,6 +59,7 @@ class SceneData(NamedTuple):
     shape_emitter: jnp.ndarray  # (S,) emitter id per shape or -1
     mat: MaterialTable
     emitters: EmitterTable
+    treelets: TreeletGeom       # dense two-level structure (fast tracer)
 
 
 @dataclasses.dataclass
@@ -165,6 +168,10 @@ def build_scene(obj: ObjData) -> tuple[SceneData, SceneMeta]:
     def padded(a, p):
         return np.concatenate([a.astype(p.dtype if p.ndim else a.dtype), p])
 
+    tl = build_treelets(bvh, v0r.astype(np.float32),
+                        e1.astype(np.float32), e2.astype(np.float32))
+    treelets = make_treelet_geom(tl)
+
     geom = TraceGeom(
         v0=jnp.asarray(np.concatenate([v0r, pad3]).astype(np.float32)),
         e1=jnp.asarray(np.concatenate([e1, pad3]).astype(np.float32)),
@@ -238,6 +245,7 @@ def build_scene(obj: ObjData) -> tuple[SceneData, SceneMeta]:
         shape_emitter=jnp.asarray(shape_emitter),
         mat=_material_table(obj),
         emitters=emitters,
+        treelets=treelets,
     )
 
     # --- host metadata -----------------------------------------------------
