@@ -12,8 +12,8 @@ from . import binned, traverse
 
 def trace_closest(scene, o, d, min_t, max_t) -> traverse.Hit:
     if getattr(scene, "treelets", None) is not None:
-        return binned.trace_closest_binned(scene.treelets, o, d, min_t,
-                                           max_t)
+        return binned.trace_closest_slots(scene.treelets, o, d, min_t,
+                                          max_t)
     return traverse.trace_closest(scene.geom, o, d, min_t, max_t)
 
 

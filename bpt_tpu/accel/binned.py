@@ -235,3 +235,173 @@ def trace_any_binned(tg: TreeletGeom, o, d, min_t, max_t,
     init = (jnp.int32(0), jnp.zeros((n_tiles, tile), bool))
     _, occ = jax.lax.while_loop(cond, body, init)
     return occ.reshape(b)[:b_in]
+
+
+# ---------------------------------------------------------------------------
+# Per-ray slot tracer: closest hit via one-hot MXU block fetch
+# ---------------------------------------------------------------------------
+#
+# For incoherent rays the per-ray treelet overlap count is tiny (mean ~2 on
+# the reference cbox) while tile unions are huge (~100-250), so the
+# tile-sweep loop above wastes ~100x.  Here each ray walks its OWN overlap
+# list: each iteration extracts every ray's first remaining overlapped
+# treelet (argmax over the mask row, dense), fetches that treelet's packed
+# triangle block for all rays at once with a one-hot matmul on the MXU
+# (gather-free), and intersects densely.  The loop runs max-per-ray-count
+# times (~19 on the cbox) instead of max-tile-union times.
+
+
+def _block_matrix(tg: TreeletGeom):
+    """(NT+1, 10*K) matmul operand: 9 block components + tri_index as f32
+    (exact to 2^24).  Row NT is zeros = sentinel for exhausted rays."""
+    nt, _, k = tg.block.shape
+    blk = tg.block.reshape(nt, 9 * k)
+    tri = tg.tri_index.astype(jnp.float32)
+    m = jnp.concatenate([blk, tri], axis=1)  # (NT, 10K)
+    return jnp.concatenate([m, jnp.zeros((1, 10 * k), jnp.float32)], axis=0)
+
+
+def trace_closest_slots(tg: TreeletGeom, o, d, min_t, max_t,
+                        n_slots=None, tile: int = DEFAULT_TILE) -> Hit:
+    """Hybrid closest hit: `n_slots` per-ray slot iterations (covering the
+    typical per-ray overlap count) followed by a tile-sweep over whatever
+    sparse remainder is left (lanes with unusually many overlaps)."""
+    b = o.shape[0]
+    nt, _, k = tg.block.shape
+    min_t = jnp.broadcast_to(jnp.asarray(min_t, jnp.float32), (b,))
+    max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (b,))
+    mask = _treelet_mask(tg, o, d, min_t, max_t)
+    block_mat = _block_matrix(tg)
+
+    rx = tuple(a[:, None] for a in (o[:, 0], o[:, 1], o[:, 2],
+                                    d[:, 0], d[:, 1], d[:, 2]))
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
+
+    def slot_body(state, _):
+        mask_rem, t_best, tri_best, u_best, v_best = state
+        has = jnp.any(mask_rem, axis=1)
+        first = jnp.argmax(mask_rem, axis=1)  # first remaining overlap
+        onehot_b = (iota == first[:, None]) & has[:, None]
+        onehot = onehot_b.astype(jnp.float32)
+        fetched = jax.lax.dot_general(
+            onehot, block_mat[:nt],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGH,
+        )  # (B, 10K)
+        comp = fetched[:, : 9 * k].reshape(b, 9, k)
+        trib = fetched[:, 9 * k:].astype(jnp.int32)  # (B, K)
+        tb = tuple(comp[:, c, :] for c in range(9))
+        ok, t, u, v = _mt_block_soa(rx, tb)  # (B, K)
+        t_hi = jnp.minimum(t_best, max_t)
+        ok &= (t >= min_t[:, None]) & (t <= t_hi[:, None])
+        ok &= has[:, None]
+        t_m = jnp.where(ok, t, jnp.inf)
+        kk = jnp.argmin(t_m, axis=1)
+        t_new = jnp.take_along_axis(t_m, kk[:, None], axis=1)[:, 0]
+        improved = t_new < t_best
+
+        def sel(arr):
+            return jnp.take_along_axis(arr, kk[:, None], axis=1)[:, 0]
+
+        t_best = jnp.where(improved, t_new, t_best)
+        tri_best = jnp.where(improved, sel(trib), tri_best)
+        u_best = jnp.where(improved, sel(u), u_best)
+        v_best = jnp.where(improved, sel(v), v_best)
+        mask_rem = mask_rem & ~onehot_b
+        return (mask_rem, t_best, tri_best, u_best, v_best), None
+
+    init = (
+        mask,
+        jnp.full((b,), jnp.inf, jnp.float32),
+        jnp.full((b,), -1, jnp.int32),
+        jnp.zeros((b,), jnp.float32),
+        jnp.zeros((b,), jnp.float32),
+    )
+    if n_slots is None:
+        # Loop until every lane's overlap list is exhausted (bounded by the
+        # max per-ray overlap count, small in practice).
+        (mask_rem, t_best, tri_best, u_best, v_best) = jax.lax.while_loop(
+            lambda st: jnp.any(st[0]),
+            lambda st: slot_body(st, None)[0],
+            init,
+        )
+        return Hit(t=t_best, tri=tri_best, u=u_best, v=v_best,
+                   valid=tri_best >= 0)
+    (mask_rem, t_best, tri_best, u_best, v_best), _ = jax.lax.scan(
+        slot_body, init, None, length=n_slots)
+
+    # ---- tile-sweep over the sparse remainder --------------------------
+    tile = min(tile, max(b, 1))
+    pad = (-b) % tile
+    if pad:
+        mask_rem = jnp.concatenate(
+            [mask_rem, jnp.zeros((pad, nt), bool)], axis=0)
+
+        def padv(x, fill):
+            return jnp.concatenate(
+                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0)
+
+        o = padv(o, 1e9)
+        d = padv(d, 1.0)
+        min_t = padv(min_t, 0.0)
+        max_t = padv(max_t, -1.0)
+        t_best = padv(t_best, jnp.inf)
+        tri_best = padv(tri_best, -1)
+        u_best = padv(u_best, 0.0)
+        v_best = padv(v_best, 0.0)
+    bp = b + pad
+    n_tiles = bp // tile
+    lists, counts = _tile_lists(mask_rem, n_tiles, tile)
+    max_count = jnp.max(counts)
+    rx_t = tuple(
+        a.reshape(n_tiles, 1, tile)
+        for a in (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2])
+    )
+    mint = min_t.reshape(n_tiles, 1, tile)
+    maxt = max_t.reshape(n_tiles, tile)
+
+    def cond(state):
+        return state[0] < max_count
+
+    def sweep_body(state):
+        m, t_best, tri_best, u_best, v_best = state
+        tau = jax.lax.dynamic_index_in_dim(lists, m, axis=1, keepdims=False)
+        active = m < counts
+        blk = tg.block[tau]  # (n_tiles, 9, K)
+        tb = tuple(blk[:, c, :, None] for c in range(9))
+        ok, t, u, v = _mt_block_soa(rx_t, tb)
+        t_hi = jnp.minimum(t_best, maxt)
+        ok &= (t >= mint) & (t <= t_hi[:, None, :])
+        ok &= active[:, None, None]
+        t_m = jnp.where(ok, t, jnp.inf)
+        kk = jnp.argmin(t_m, axis=1)
+        t_new = jnp.take_along_axis(t_m, kk[:, None, :], axis=1)[:, 0, :]
+        improved = t_new < t_best
+        trib = tg.tri_index[tau]
+        sel_tri = jnp.take_along_axis(trib, kk, axis=1)
+
+        def sel(arr):
+            return jnp.take_along_axis(arr, kk[:, None, :], axis=1)[:, 0, :]
+
+        t_best = jnp.where(improved, t_new, t_best)
+        tri_best = jnp.where(improved, sel_tri, tri_best)
+        u_best = jnp.where(improved, sel(u), u_best)
+        v_best = jnp.where(improved, sel(v), v_best)
+        return m + 1, t_best, tri_best, u_best, v_best
+
+    init2 = (
+        jnp.int32(0),
+        t_best.reshape(n_tiles, tile),
+        tri_best.reshape(n_tiles, tile),
+        u_best.reshape(n_tiles, tile),
+        v_best.reshape(n_tiles, tile),
+    )
+    _, t_best, tri_best, u_best, v_best = jax.lax.while_loop(
+        cond, sweep_body, init2)
+
+    t_best = t_best.reshape(bp)[:b]
+    tri_best = tri_best.reshape(bp)[:b]
+    u_best = u_best.reshape(bp)[:b]
+    v_best = v_best.reshape(bp)[:b]
+    return Hit(t=t_best, tri=tri_best, u=u_best, v=v_best,
+               valid=tri_best >= 0)

@@ -20,7 +20,7 @@ import numpy as np
 
 from .build import FlatBVH
 
-TREELET_SIZE = 32
+TREELET_SIZE = 64
 
 
 class Treelets(NamedTuple):
