@@ -7,11 +7,23 @@ identical intersection semantics; tests/test_binned.py enforces agreement.
 """
 from __future__ import annotations
 
+import os
+
 from . import binned, traverse
+
+# BPT_PALLAS_TRACE=1 routes closest-hit through the fused Pallas kernel
+# (ops/pallas_trace.py) when the scene's treelet tables fit in VMEM.
+_USE_PALLAS = os.environ.get("BPT_PALLAS_TRACE", "0") == "1"
 
 
 def trace_closest(scene, o, d, min_t, max_t) -> traverse.Hit:
     if getattr(scene, "treelets", None) is not None:
+        if _USE_PALLAS:
+            from ..ops.pallas_trace import fits_vmem, trace_closest_pallas
+
+            if fits_vmem(scene.treelets):
+                return trace_closest_pallas(scene.treelets, o, d, min_t,
+                                            max_t)
         return binned.trace_closest_slots(scene.treelets, o, d, min_t,
                                           max_t)
     return traverse.trace_closest(scene.geom, o, d, min_t, max_t)

@@ -69,8 +69,10 @@ class LaneMaterial(NamedTuple):
     spec_weight: jnp.ndarray  # specular sampling weight (phong.h:45-47)
 
 
-def gather_lane(mat: MaterialTable, mid) -> LaneMaterial:
-    kd = mat.diffuse[mid]
+def gather_lane(mat: MaterialTable, mid, kd_override=None) -> LaneMaterial:
+    """kd_override: per-lane textured diffuse (scene/textures.py) replacing
+    the constant Kd (reference BitmapTexture3f, diffuse.h:23-26)."""
+    kd = mat.diffuse[mid] if kd_override is None else kd_override
     ks = mat.specular[mid]
     max_v = jnp.max(kd + ks, axis=-1)
     scale = jnp.where(max_v > 1.0, 0.99 / jnp.maximum(max_v, 1e-12), 1.0)
@@ -139,10 +141,10 @@ def _mixture_pdf(lane, wo, wi):
     return p_phong * w + p_diff * (1.0 - w)
 
 
-def eval_bsdf(mat: MaterialTable, mid, wo, wi):
+def eval_bsdf(mat: MaterialTable, mid, wo, wi, kd_override=None):
     """f * cos(theta_i); zero for delta BSDFs
     (reference: perfectmirror.h:33-39, glass.h:55-59)."""
-    lane = gather_lane(mat, mid)
+    lane = gather_lane(mat, mid, kd_override)
     d = _diffuse_eval(lane, wo, wi)
     p = _phong_like_eval(lane, wo, wi)
     k = lane.kind[..., None]
@@ -151,10 +153,10 @@ def eval_bsdf(mat: MaterialTable, mid, wo, wi):
     return out
 
 
-def pdf_bsdf(mat: MaterialTable, mid, wo, wi):
+def pdf_bsdf(mat: MaterialTable, mid, wo, wi, kd_override=None):
     """Solid-angle pdf; zero for delta BSDFs
     (reference: perfectmirror.h:41-46, glass.h:61-65)."""
-    lane = gather_lane(mat, mid)
+    lane = gather_lane(mat, mid, kd_override)
     d = warp.square_to_cosine_hemisphere_pdf(wi)
     ph = _phong_pdf(lane, wo, wi)
     mx = _mixture_pdf(lane, wo, wi)
@@ -201,14 +203,15 @@ def _glass_sample(lane, wo, u):
     return wi, val, jnp.ones_like(fr)
 
 
-def sample_bsdf(mat: MaterialTable, mid, wo, u2) -> BsdfSample:
+def sample_bsdf(mat: MaterialTable, mid, wo, u2,
+                kd_override=None) -> BsdfSample:
     """Sample an outgoing direction for every lane.
 
     One shared 2D uniform `u2` per lane feeds whichever lobe the lane's
     material selects (streams are independent across lanes/depths via the
     RNG key discipline).
     """
-    lane = gather_lane(mat, mid)
+    lane = gather_lane(mat, mid, kd_override)
     k = lane.kind
     sg = jax.lax.stop_gradient
 

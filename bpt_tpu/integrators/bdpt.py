@@ -55,6 +55,7 @@ from .common import (
     emission_at,
     make_interaction,
     sample_emitter_position,
+    textured_kd,
 )
 
 
@@ -94,6 +95,9 @@ class LightVertexSlots(NamedTuple):
     vc: jnp.ndarray       # (L, B)
     rr: jnp.ndarray       # (L, B)
     mat_id: jnp.ndarray   # (L, B)
+    tri: jnp.ndarray      # (L, B) for texture UV lookups
+    u: jnp.ndarray        # (L, B)
+    v: jnp.ndarray        # (L, B)
     valid: jnp.ndarray    # (L, B)
 
 
@@ -107,14 +111,15 @@ def _rr_probability(cfg: BDPTConfig, depth, throughput):
     return jnp.where(depth + 1 < cfg.rr_depth, 1.0, rr)
 
 
-def _continue_walk(scene, lkeys, it, rr_prob, throughput, vc, vcm, alive):
+def _continue_walk(scene, lkeys, it, rr_prob, throughput, vc, vcm, alive,
+                   kd_ov=None):
     """ContinuePathRandomWalk (reference: bdpt.h:243-291).
 
     Returns (new_ray_o, new_ray_d, throughput, vc, vcm, alive, wi_local).
     """
     thr_in, vc_in, vcm_in = throughput, vc, vcm
     u2 = rng.uniform2(rng.lane_fold(lkeys, rng.BSDF_SAMPLE))
-    s = bsdf.sample_bsdf(scene.mat, it.mat_id, it.wo, u2)
+    s = bsdf.sample_bsdf(scene.mat, it.mat_id, it.wo, u2, kd_ov)
     pdf_w = s.pdf * rr_prob
     abs_cos_out = jnp.abs(s.wi[..., 2])
     dead = is_zero_rgb(s.value) | (pdf_w <= 0.0)
@@ -123,7 +128,8 @@ def _continue_walk(scene, lkeys, it, rr_prob, throughput, vc, vcm, alive):
 
     # Reverse pdf: probability of generating the *previous* edge given the
     # new one; delta BSDFs reuse the forward pdf (bdpt.h:269-272).
-    rev_pdf = bsdf.pdf_bsdf(scene.mat, it.mat_id, s.wi, it.wo) * rr_prob
+    rev_pdf = bsdf.pdf_bsdf(scene.mat, it.mat_id, s.wi, it.wo,
+                            kd_ov) * rr_prob
     prev_rev_pdf = jnp.where(s.delta, pdf_w, rev_pdf)
 
     # vc/vcm recursion; delta case is Eqs. 53-54 (bdpt.h:274-285).
@@ -152,7 +158,7 @@ def _visible(scene, start, end):
 
 
 def _connect_to_camera(scene, cam_consts, cfg: BDPTConfig, it, throughput,
-                       vcm, vc, rr_prob, active):
+                       vcm, vc, rr_prob, active, kd_ov=None):
     """t=1 technique: splat a light vertex onto the image plane
     (reference: bdpt.h:295-371, VCM Eqs. 46-47).
 
@@ -171,7 +177,7 @@ def _connect_to_camera(scene, cam_consts, cfg: BDPTConfig, it, throughput,
     ok &= cos_cam > 0.0
 
     wi_local = frame_to_local(it.frame_ns, -dirn)
-    f = bsdf.eval_bsdf(scene.mat, it.mat_id, it.wo, wi_local)
+    f = bsdf.eval_bsdf(scene.mat, it.mat_id, it.wo, wi_local, kd_ov)
     ok &= ~is_zero_rgb(f) & (wi_local[..., 2] > 0.0)
 
     occluded = _visible(scene, jnp.broadcast_to(cam_o, it.p.shape), it.p)
@@ -201,7 +207,8 @@ def _connect_to_camera(scene, cam_consts, cfg: BDPTConfig, it, throughput,
     # vertex, in surface-area measure, over the light-path count.
     reverse_pdf_a = image_to_surf
     prev_rev_pdf = (
-        bsdf.pdf_bsdf(scene.mat, it.mat_id, wi_local, it.wo) * rr_prob
+        bsdf.pdf_bsdf(scene.mat, it.mat_id, wi_local, it.wo, kd_ov)
+        * rr_prob
     )
     light_weight = (reverse_pdf_a / n_light) * (vcm + prev_rev_pdf * vc)
     light_weight = jnp.nan_to_num(light_weight, nan=jnp.inf)
@@ -251,6 +258,7 @@ def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, b,
         slots = LightVertexSlots(
             p=zero3, ns=zero3, wo=zero3, throughput=zero3, vcm=zero1,
             vc=zero1, rr=zero1, mat_id=jnp.zeros((0, b), jnp.int32),
+            tri=jnp.zeros((0, b), jnp.int32), u=zero1, v=zero1,
             valid=jnp.zeros((0, b), bool),
         )
         return (slots, jnp.zeros((0, b), jnp.int32), zero3,
@@ -280,15 +288,16 @@ def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, b,
         rr_prob = _rr_probability(cfg, depth, throughput)
         lane = bsdf.gather_lane(scene.mat, it.mat_id)
         delta = bsdf.is_delta(lane)
+        kd_ov = textured_kd(scene, it)
 
         pix, rgb, nvis = _connect_to_camera(
             scene, cam_consts, cfg, it, throughput, vcm, vc, rr_prob,
-            alive & ~delta,
+            alive & ~delta, kd_ov,
         )
         nrays = nrays + nvis
 
         o2, d2, thr2, vc2, vcm2, alive2, wi = _continue_walk(
-            scene, kd, it, rr_prob, throughput, vc, vcm, alive
+            scene, kd, it, rr_prob, throughput, vc, vcm, alive, kd_ov
         )
         vertex_valid = alive & ~delta & alive2  # push-after-continue,
         # reference bdpt.h:211-215
@@ -302,6 +311,9 @@ def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, b,
             vc=vc,
             rr=rr_prob,
             mat_id=it.mat_id,
+            tri=it.tri,
+            u=it.u,
+            v=it.v,
             valid=vertex_valid,
         )
         return (o2, d2, thr2, vc2, vcm2, alive2, rr_prob, nrays), (
@@ -315,7 +327,7 @@ def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, b,
 
 
 def _connect_to_light(scene, cfg: BDPTConfig, lkeys, it, throughput, vcm, vc,
-                      rr_prob, active):
+                      rr_prob, active, kd_ov=None):
     """s=1 next-event estimation (reference: bdpt.h:374-430,
     VCM Eqs. 44-45). Returns (contribution (B,3), n_vis)."""
     es = sample_emitter_position(scene, rng.lane_fold(lkeys, rng.NEE_WALK))
@@ -335,7 +347,7 @@ def _connect_to_light(scene, cfg: BDPTConfig, lkeys, it, throughput, vcm, vc,
     connect_pdf_w = connect_pdf_a * dist2 / cos_safe
     dir_pdf_w = INV_TWOPI  # squareToUniformHemispherePdf
 
-    f = bsdf.eval_bsdf(scene.mat, it.mat_id, it.wo, wi_local)
+    f = bsdf.eval_bsdf(scene.mat, it.mat_id, it.wo, wi_local, kd_ov)
     li = (
         f * throughput * es.radiance
         / jnp.maximum(connect_pdf_w, 1e-30)[..., None]
@@ -347,12 +359,14 @@ def _connect_to_light(scene, cfg: BDPTConfig, lkeys, it, throughput, vcm, vc,
     ok &= ~occluded
 
     light_rev_pdf_w = (
-        bsdf.pdf_bsdf(scene.mat, it.mat_id, it.wo, wi_local) * rr_prob
+        bsdf.pdf_bsdf(scene.mat, it.mat_id, it.wo, wi_local, kd_ov)
+        * rr_prob
     )
     light_weight = light_rev_pdf_w / jnp.maximum(connect_pdf_w, 1e-30)
 
     eye_prev_rev_pdf_w = (
-        bsdf.pdf_bsdf(scene.mat, it.mat_id, wi_local, it.wo) * rr_prob
+        bsdf.pdf_bsdf(scene.mat, it.mat_id, wi_local, it.wo, kd_ov)
+        * rr_prob
     )
     eye_cur_rev_pdf_a = cos_at_eye / dist2 * dir_pdf_w
     eye_weight = eye_cur_rev_pdf_a * (vcm + eye_prev_rev_pdf_w * vc)
@@ -367,7 +381,7 @@ def _connect_to_light(scene, cfg: BDPTConfig, lkeys, it, throughput, vcm, vc,
 
 def _connect_vertices(scene, lv_p, lv_ns, lv_wo, lv_thr, lv_vcm, lv_vc,
                       lv_rr, lv_mid, lv_valid, it, throughput, vcm, vc,
-                      rr_prob, active):
+                      rr_prob, active, lv_kd=None, kd_ov=None):
     """s>=2, t>=2 technique: deterministic connection of one light-vertex
     slot to the current eye vertex (reference: bdpt.h:434-483,
     VCM Eqs. 40-41). Returns (contribution (B,3), n_vis)."""
@@ -386,15 +400,19 @@ def _connect_vertices(scene, lv_p, lv_ns, lv_wo, lv_thr, lv_vcm, lv_vc,
     occluded = _visible(scene, it.p, lv_p)
     ok &= ~occluded
 
-    f_l = bsdf.eval_bsdf(scene.mat, lv_mid, lv_wo, wi_light)
-    f_e = bsdf.eval_bsdf(scene.mat, it.mat_id, it.wo, wi_eye)
+    f_l = bsdf.eval_bsdf(scene.mat, lv_mid, lv_wo, wi_light, lv_kd)
+    f_e = bsdf.eval_bsdf(scene.mat, it.mat_id, it.wo, wi_eye, kd_ov)
     li = f_l * f_e * lv_thr * throughput * inv_d2[..., None]
 
     # Reverse pdfs for the MIS weight (bdpt.h:458-479).
-    pdf_l2e = bsdf.pdf_bsdf(scene.mat, lv_mid, lv_wo, wi_light) * lv_rr
-    pdf_l_prev = bsdf.pdf_bsdf(scene.mat, lv_mid, wi_light, lv_wo) * lv_rr
-    pdf_e2l = bsdf.pdf_bsdf(scene.mat, it.mat_id, it.wo, wi_eye) * rr_prob
-    pdf_e_prev = bsdf.pdf_bsdf(scene.mat, it.mat_id, wi_eye, it.wo) * rr_prob
+    pdf_l2e = bsdf.pdf_bsdf(scene.mat, lv_mid, lv_wo, wi_light,
+                            lv_kd) * lv_rr
+    pdf_l_prev = bsdf.pdf_bsdf(scene.mat, lv_mid, wi_light, lv_wo,
+                               lv_kd) * lv_rr
+    pdf_e2l = bsdf.pdf_bsdf(scene.mat, it.mat_id, it.wo, wi_eye,
+                            kd_ov) * rr_prob
+    pdf_e_prev = bsdf.pdf_bsdf(scene.mat, it.mat_id, wi_eye, it.wo,
+                               kd_ov) * rr_prob
 
     light_rev_a = pdf_e2l * cos_l * inv_d2
     eye_rev_a = pdf_l2e * cos_e * inv_d2
@@ -484,12 +502,14 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
         rr_prob = _rr_probability(cfg, depth, throughput)
         lane = bsdf.gather_lane(scene.mat, it.mat_id)
         delta = bsdf.is_delta(lane)
+        kd_ov = textured_kd(scene, it)
         connectable = alive & ~delta
         pure_spec = pure_spec & ~connectable  # bdpt.h:139
 
         # ---- s=1: NEE (bdpt.h:142) ----
         nee, nv1 = _connect_to_light(
-            scene, cfg, kd, it, throughput, vcm, vc, rr_prob, connectable
+            scene, cfg, kd, it, throughput, vcm, vc, rr_prob, connectable,
+            kd_ov,
         )
         li = li + nee
         nrays = nrays + nv1
@@ -498,6 +518,10 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
         if cfg.mode == "bdpt" and l > 0:
             def conn(s_idx, acc):
                 li_acc, nr_acc = acc
+                from ..scene.textures import albedo_at
+
+                lv_kd = albedo_at(scene, slots.tri[s_idx], slots.u[s_idx],
+                                  slots.v[s_idx])
                 c, nv = _connect_vertices(
                     scene,
                     slots.p[s_idx], slots.ns[s_idx], slots.wo[s_idx],
@@ -505,13 +529,14 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
                     slots.vc[s_idx], slots.rr[s_idx], slots.mat_id[s_idx],
                     slots.valid[s_idx],
                     it, throughput, vcm, vc, rr_prob, connectable,
+                    lv_kd, kd_ov,
                 )
                 return li_acc + c, nr_acc + nv
 
             li, nrays = jax.lax.fori_loop(0, l, conn, (li, nrays))
 
         o2, d2, thr2, vc2, vcm2, alive2, _ = _continue_walk(
-            scene, kd, it, rr_prob, throughput, vc, vcm, alive
+            scene, kd, it, rr_prob, throughput, vc, vcm, alive, kd_ov
         )
         return (o2, d2, thr2, vc2, vcm2, alive2, rr_prob, pure_spec, li,
                 nrays), None
@@ -558,6 +583,7 @@ def render_sample(scene: SceneData, cam_consts, cfg: BDPTConfig, key,
         slots = LightVertexSlots(
             p=zero3, ns=zero3, wo=zero3, throughput=zero3, vcm=zero1,
             vc=zero1, rr=zero1, mat_id=jnp.zeros((l, b), jnp.int32),
+            tri=jnp.zeros((l, b), jnp.int32), u=zero1, v=zero1,
             valid=jnp.zeros((l, b), bool),
         )
         splat_pix = jnp.zeros((0, b), jnp.int32)

@@ -125,6 +125,14 @@ def emission_at(scene: SceneData, mat_id):
     return scene.mat.emission[mat_id]
 
 
+def textured_kd(scene: SceneData, it: Interaction):
+    """Per-lane textured diffuse override at an interaction (None when the
+    scene has no bitmap textures)."""
+    from ..scene.textures import albedo_at
+
+    return albedo_at(scene, it.tri, it.u, it.v)
+
+
 def primary_trace(scene: SceneData, o, d, near, far):
     hit = trace_closest(scene, o, d, near, far)
     return hit, make_interaction(scene, d, hit)

@@ -31,7 +31,7 @@ from ..core.math import (
     normalize,
 )
 from ..scene.scene import SceneData
-from .common import emission_at, make_interaction
+from .common import emission_at, make_interaction, textured_kd
 from .path import balance_heuristic
 
 
@@ -122,6 +122,7 @@ def render_sample_direct(scene: SceneData, lights: SphereLights, cam_consts,
     on_emitter = hit.valid & ~is_zero_rgb(le0)
     shade = hit.valid & ~on_emitter
     lr = jnp.where(on_emitter[..., None], le0, 0.0)
+    kd_ov = textured_kd(scene, it)
 
     def emitter_loop(n_samples, body):
         acc = jnp.zeros((b, 3), jnp.float32)
@@ -150,7 +151,7 @@ def render_sample_direct(scene: SceneData, lights: SphereLights, cam_consts,
                 jnp.sqrt(dist2) - EPSILON).valid
             ok &= ~occ
             a2s = cos_out / dist2
-            f = bsdf.eval_bsdf(scene.mat, it.mat_id, it.wo, wi_l)
+            f = bsdf.eval_bsdf(scene.mat, it.mat_id, it.wo, wi_l, kd_ov)
             out = rad * f * (a2s / (pdf * em_pdf))[..., None]
             return jnp.where(ok[..., None], out, 0.0)
 
@@ -167,7 +168,7 @@ def render_sample_direct(scene: SceneData, lights: SphereLights, cam_consts,
             ok = shade & h2.valid
             pdf = warp.square_to_cosine_hemisphere_pdf(wi_l)
             safe = jnp.where(pdf > 0, pdf, 1.0)
-            f = bsdf.eval_bsdf(scene.mat, it.mat_id, it.wo, wi_l)
+            f = bsdf.eval_bsdf(scene.mat, it.mat_id, it.wo, wi_l, kd_ov)
             return jnp.where(ok[..., None], le * f / safe[..., None], 0.0)
 
         lr = lr + emitter_loop(cfg.emitter_samples, body)
@@ -175,7 +176,7 @@ def render_sample_direct(scene: SceneData, lights: SphereLights, cam_consts,
     elif cfg.strategy == "bsdf":
         def body(lk):
             u2 = rng.uniform2(rng.lane_fold(lk, rng.BSDF_SAMPLE))
-            s = bsdf.sample_bsdf(scene.mat, it.mat_id, it.wo, u2)
+            s = bsdf.sample_bsdf(scene.mat, it.mat_id, it.wo, u2, kd_ov)
             wi_w = frame_to_world(it.frame_ns, s.wi)
             h2 = trace_closest(scene, it.p, wi_w, EPSILON, jnp.inf)
             it2 = make_interaction(scene, wi_w, h2)
@@ -224,10 +225,10 @@ def render_sample_direct(scene: SceneData, lights: SphereLights, cam_consts,
                 vis |= ~h2.valid & _ray_sphere_hit(
                     it.p, wi_w, c, r, EPSILON, maxt)
             ok &= vis
-            f = bsdf.eval_bsdf(scene.mat, it.mat_id, it.wo, wi_l)
+            f = bsdf.eval_bsdf(scene.mat, it.mat_id, it.wo, wi_l, kd_ov)
             contrib = rad * f / (pdf * em_pdf)[..., None]
             if is_mis:
-                b_pdf = bsdf.pdf_bsdf(scene.mat, it.mat_id, it.wo, wi_l)
+                b_pdf = bsdf.pdf_bsdf(scene.mat, it.mat_id, it.wo, wi_l, kd_ov)
                 wgt = balance_heuristic(
                     cfg.emitter_samples, pdf * em_pdf, cfg.bsdf_samples,
                     b_pdf)
@@ -239,7 +240,7 @@ def render_sample_direct(scene: SceneData, lights: SphereLights, cam_consts,
         if is_mis and cfg.bsdf_samples > 0:
             def body_b(lk):
                 u2 = rng.uniform2(rng.lane_fold(lk, rng.BSDF_SAMPLE))
-                s = bsdf.sample_bsdf(scene.mat, it.mat_id, it.wo, u2)
+                s = bsdf.sample_bsdf(scene.mat, it.mat_id, it.wo, u2, kd_ov)
                 wi_w = frame_to_world(it.frame_ns, s.wi)
                 h2 = trace_closest(scene, it.p, wi_w, EPSILON, jnp.inf)
                 it2 = make_interaction(scene, wi_w, h2)

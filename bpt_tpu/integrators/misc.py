@@ -36,7 +36,7 @@ from ..core.math import (
     reflect_local,
 )
 from ..scene.scene import SceneData
-from .common import make_interaction
+from .common import make_interaction, textured_kd
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,7 +75,8 @@ def render_sample_misc(scene: SceneData, first_light_pos,
         wi_l = frame_to_local(it.frame_ns, wi_w)
         occ = trace_any(scene, it.p, wi_w, EPSILON,
                         jnp.sqrt(d2) - 1e-4)
-        albedo = scene.mat.diffuse[it.mat_id]
+        kd_ov = textured_kd(scene, it)
+        albedo = scene.mat.diffuse[it.mat_id] if kd_ov is None else kd_ov
         li = (
             albedo * INV_PI
             * jnp.maximum(wi_l[..., 2:3], 0.0)

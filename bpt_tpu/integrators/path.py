@@ -34,7 +34,8 @@ from ..core.math import (
     normalize,
 )
 from ..scene.scene import SceneData
-from .common import emission_at, make_interaction, sample_emitter_position
+from .common import (emission_at, make_interaction,
+                     sample_emitter_position, textured_kd)
 
 # Bounded replacement for the reference's unbounded emitter re-roll loop
 # (path.h:86-103); P(needing more) decays by 0.95 * P(hit emitter) per try.
@@ -73,7 +74,8 @@ def balance_heuristic(nf, f_pdf, ng, g_pdf):
     return f / jnp.maximum(f + g, 1e-30)
 
 
-def _direct_illumination(scene, cfg: PathConfig, lkeys, it, active):
+def _direct_illumination(scene, cfg: PathConfig, lkeys, it, active,
+                         kd_ov=None):
     """Direct-illumination estimator at one vertex: emitter-strategy +
     BSDF-strategy samples combined by the balance heuristic
     (reference: path.h:116-195). Returns (B, 3)."""
@@ -101,12 +103,13 @@ def _direct_illumination(scene, cfg: PathConfig, lkeys, it, active):
         le = es.radiance
         area_to_solid = cos_out / dist2
         safe_a2s = jnp.where(ok, jnp.maximum(area_to_solid, 1e-20), 1.0)
-        bsdf_pdf = bsdf.pdf_bsdf(scene.mat, it.mat_id, it.wo, wi_local)
+        bsdf_pdf = bsdf.pdf_bsdf(scene.mat, it.mat_id, it.wo, wi_local,
+                                 kd_ov)
         em_pdf_w = es.pos_pdf * es.select_pdf / safe_a2s
         weight = balance_heuristic(
             cfg.emitter_samples, em_pdf_w, cfg.bsdf_samples, bsdf_pdf
         )
-        f = bsdf.eval_bsdf(scene.mat, it.mat_id, it.wo, wi_local)
+        f = bsdf.eval_bsdf(scene.mat, it.mat_id, it.wo, wi_local, kd_ov)
         contrib = (
             weight[..., None] * le * f
             * (safe_a2s / (es.pos_pdf * es.select_pdf))[..., None]
@@ -120,7 +123,7 @@ def _direct_illumination(scene, cfg: PathConfig, lkeys, it, active):
     for i in range(cfg.bsdf_samples):
         lk = rng.lane_fold(lkeys, 2000 + i)
         u2 = rng.uniform2(rng.lane_fold(lk, rng.BSDF_SAMPLE))
-        s = bsdf.sample_bsdf(scene.mat, it.mat_id, it.wo, u2)
+        s = bsdf.sample_bsdf(scene.mat, it.mat_id, it.wo, u2, kd_ov)
         ok = active & ~is_zero_rgb(s.value)
         wi_w = frame_to_world(it.frame_ns, s.wi)
         hit = trace_closest(scene, it.p, wi_w, EPSILON, jnp.inf)
@@ -179,8 +182,10 @@ def render_sample_path(scene: SceneData, cam_consts, cfg: PathConfig, key,
     throughput0 = jnp.ones((b, 3), jnp.float32)
 
     def step(carry, depth):
-        it_p, it_wo, it_frame, it_mid, alive, throughput, li, nrays = carry
-        it_cur = _pack_it(scene, it_p, it_wo, it_frame, it_mid)
+        (it_p, it_wo, it_frame, it_mid, it_tri, it_u, it_v, alive,
+         throughput, li, nrays) = carry
+        it_cur = _pack_it(scene, it_p, it_wo, it_frame, it_mid, it_tri,
+                          it_u, it_v)
         kd = rng.lane_fold(rng.lane_fold(lkeys, rng.EYE_WALK), depth)
 
         # Depth/RR continuation (path.h:73, 199-202).
@@ -193,8 +198,10 @@ def render_sample_path(scene: SceneData, cam_consts, cfg: PathConfig, key,
         else:
             rr_scale = jnp.ones((b,), jnp.float32)
 
+        kd_ov = textured_kd(scene, it_cur)
         if cfg.is_explicit:
-            direct = _direct_illumination(scene, cfg, kd, it_cur, alive)
+            direct = _direct_illumination(scene, cfg, kd, it_cur, alive,
+                                          kd_ov)
             nrays = nrays + jnp.sum(alive) * (
                 cfg.emitter_samples + cfg.bsdf_samples)
             li = li + throughput * rr_scale[..., None] * direct
@@ -205,7 +212,8 @@ def render_sample_path(scene: SceneData, cam_consts, cfg: PathConfig, key,
                 (best_it, best_val, best_pdf, need, n_used, rngk) = rc
                 rki = rng.lane_fold(rngk, i)
                 u2 = rng.uniform2(rng.lane_fold(rki, rng.BSDF_SAMPLE))
-                s = bsdf.sample_bsdf(scene.mat, it_cur.mat_id, it_cur.wo, u2)
+                s = bsdf.sample_bsdf(scene.mat, it_cur.mat_id, it_cur.wo,
+                                     u2, kd_ov)
                 wi_w = frame_to_world(it_cur.frame_ns, s.wi)
                 h2 = trace_closest(scene, it_cur.p, wi_w, EPSILON,
                                    jnp.inf)
@@ -255,14 +263,15 @@ def render_sample_path(scene: SceneData, cam_consts, cfg: PathConfig, key,
             )
             alive = alive & ok_ind
             return (
-                (it2.p, it2.wo, it2.frame_ns, it2.mat_id, alive,
-                 throughput, li, nrays),
+                (it2.p, it2.wo, it2.frame_ns, it2.mat_id, it2.tri, it2.u,
+                 it2.v, alive, throughput, li, nrays),
                 None,
             )
         else:
             # Implicit recursion (path.h:35-64).
             u2 = rng.uniform2(rng.lane_fold(kd, rng.BSDF_SAMPLE))
-            s = bsdf.sample_bsdf(scene.mat, it_cur.mat_id, it_cur.wo, u2)
+            s = bsdf.sample_bsdf(scene.mat, it_cur.mat_id, it_cur.wo, u2,
+                                 kd_ov)
             wi_w = frame_to_world(it_cur.frame_ns, s.wi)
             h2 = trace_closest(scene, it_cur.p, wi_w, EPSILON, jnp.inf)
             nrays = nrays + jnp.sum(alive)
@@ -282,14 +291,14 @@ def render_sample_path(scene: SceneData, cam_consts, cfg: PathConfig, key,
                 alive[..., None], throughput * factor, throughput)
             alive = alive & h2.valid & ~hit_emitter & ~is_zero_rgb(s.value)
             return (
-                (it2.p, it2.wo, it2.frame_ns, it2.mat_id, alive,
-                 throughput, li, nrays),
+                (it2.p, it2.wo, it2.frame_ns, it2.mat_id, it2.tri, it2.u,
+                 it2.v, alive, throughput, li, nrays),
                 None,
             )
 
     if cfg.n_steps > 0:
-        init = (it.p, it.wo, it.frame_ns, it.mat_id, alive0, throughput0,
-                li, nrays)
+        init = (it.p, it.wo, it.frame_ns, it.mat_id, it.tri, it.u, it.v,
+                alive0, throughput0, li, nrays)
         carry, _ = jax.lax.scan(step, init, jnp.arange(cfg.n_steps))
         li, nrays = carry[-2], carry[-1]
 
@@ -302,15 +311,17 @@ class _ItLite:
     pass
 
 
-def _pack_it(scene, p, wo, frame, mid):
+def _pack_it(scene, p, wo, frame, mid, tri=None, u=None, v=None):
     """Lightweight Interaction view for helpers that only need these."""
     from .common import Interaction
 
     b = p.shape[0]
     z = jnp.zeros((b,), jnp.float32)
     return Interaction(
-        p=p, t=z, u=z, v=z,
-        tri=jnp.zeros((b,), jnp.int32),
+        p=p, t=z,
+        u=z if u is None else u,
+        v=z if v is None else v,
+        tri=jnp.zeros((b,), jnp.int32) if tri is None else tri,
         mat_id=mid,
         shape_id=jnp.zeros((b,), jnp.int32),
         frame_ns=frame,

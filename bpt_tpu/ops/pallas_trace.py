@@ -1,0 +1,210 @@
+"""Pallas TPU kernel: fused slot-tracer closest-hit traversal.
+
+Fuses the whole per-ray slot traversal of accel/binned.py into one kernel
+per ray tile (SURVEY.md section 2.2: "this is the #1 Pallas-kernel
+target"):
+
+  * the treelet AABB table and the packed triangle-block matrix live in
+    VMEM for the whole kernel (a 36k-triangle scene is ~2.5 MB);
+  * the (S, NT) ray x treelet overlap mask is computed once in VMEM;
+  * each slot iteration extracts every lane's first remaining overlapped
+    treelet (argmax along NT), fetches the blocks for all lanes with a
+    one-hot matmul on the MXU (in-VMEM -- the XLA version round-trips a
+    ~200MB one-hot through HBM per iteration), intersects densely, and
+    updates the running best hit;
+  * the loop is a lax.while_loop bounded by the max per-lane overlap
+    count.
+
+Intersection semantics identical to accel/traverse.py (reference:
+src/core/core.h:379-400, accel.h:43).  Scenes whose treelet tables exceed
+the VMEM budget fall back to the XLA path (accel/binned.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu is unavailable when targeting CPU interpret mode only
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pltpu = None
+
+from ..accel.traverse import Hit
+from ..core.math import EPSILON, T_MIN_HIT
+
+TILE = 256
+# VMEM budget for the treelet tables (bytes); beyond this the caller should
+# use the XLA tracer.
+VMEM_TABLE_BUDGET = 8 * 1024 * 1024
+
+
+def _kernel(bmin_ref, bmax_ref, block_ref, tri_ref, ox_ref, oy_ref, oz_ref,
+            dx_ref, dy_ref, dz_ref, mnt_ref, mxt_ref,
+            t_ref, tri_out_ref, u_ref, v_ref, *, nt: int, k: int):
+    s = ox_ref.shape[0]
+    ox = ox_ref[:][:, None]
+    oy = oy_ref[:][:, None]
+    oz = oz_ref[:][:, None]
+    dx = dx_ref[:][:, None]
+    dy = dy_ref[:][:, None]
+    dz = dz_ref[:][:, None]
+    mnt = mnt_ref[:][:, None]
+    mxt = mxt_ref[:][:, None]
+
+    # ---- (S, NT) overlap mask ------------------------------------------
+    tiny = 1e-20
+    def inv(c):
+        return jnp.where(c < 0, -1.0, 1.0) / jnp.maximum(jnp.abs(c), tiny)
+
+    tnear = jnp.full((s, nt), -jnp.inf, jnp.float32)
+    tfar = jnp.full((s, nt), jnp.inf, jnp.float32)
+    for axis, dc in ((0, dx), (1, dy), (2, dz)):
+        oc = (ox, oy, oz)[axis]
+        ic = inv(dc)
+        t1 = (bmin_ref[axis, :][None, :] - oc) * ic
+        t2 = (bmax_ref[axis, :][None, :] - oc) * ic
+        tnear = jnp.maximum(tnear, jnp.minimum(t1, t2))
+        tfar = jnp.minimum(tfar, jnp.maximum(t1, t2))
+    mask = (tfar >= tnear) & (tnear <= mxt) & (tfar >= mnt)
+
+    iota_nt = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
+
+    block = block_ref[:]       # (NT, 9*K)
+    tri_f = tri_ref[:]         # (NT, K) f32 triangle ids
+
+    def cond(state):
+        return jnp.any(state[0])
+
+    def body(state):
+        mask_rem, t_best, tri_best, u_best, v_best = state
+        has = jnp.any(mask_rem, axis=1)          # (S,)
+        first = jnp.argmax(mask_rem, axis=1)     # (S,)
+        onehot_b = (iota_nt == first[:, None]) & has[:, None]
+        onehot = onehot_b.astype(jnp.float32)    # (S, NT)
+        fetched = jnp.dot(onehot, block,
+                          preferred_element_type=jnp.float32)  # (S, 9K)
+        trib = jnp.dot(onehot, tri_f,
+                       preferred_element_type=jnp.float32)     # (S, K)
+
+        def comp(c):
+            return fetched[:, c * k:(c + 1) * k]
+
+        v0x, v0y, v0z = comp(0), comp(1), comp(2)
+        e1x, e1y, e1z = comp(3), comp(4), comp(5)
+        e2x, e2y, e2z = comp(6), comp(7), comp(8)
+
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = jnp.abs(det) >= EPSILON
+        inv_det = 1.0 / jnp.where(ok, det, 1.0)
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        uu = (tx * px + ty * py + tz * pz) * inv_det
+        ok &= (uu >= 0.0) & (uu <= 1.0)
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        vv = (dx * qx + dy * qy + dz * qz) * inv_det
+        ok &= (vv >= 0.0) & (uu + vv <= 1.0)
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok &= tt > T_MIN_HIT
+        t_hi = jnp.minimum(t_best[:, None], mxt)
+        ok &= (tt >= mnt) & (tt <= t_hi)
+        ok &= has[:, None]
+
+        t_m = jnp.where(ok, tt, jnp.inf)
+        kk = jnp.argmin(t_m, axis=1)             # (S,)
+        iota_k = jax.lax.broadcasted_iota(jnp.int32, (s, k), 1)
+        pick = iota_k == kk[:, None]
+        t_new = jnp.min(t_m, axis=1)
+        improved = t_new < t_best
+
+        def sel(arr):
+            return jnp.sum(jnp.where(pick, arr, 0.0), axis=1)
+
+        t_best = jnp.where(improved, t_new, t_best)
+        tri_best = jnp.where(improved, sel(trib), tri_best)
+        u_best = jnp.where(improved, sel(uu), u_best)
+        v_best = jnp.where(improved, sel(vv), v_best)
+        mask_rem = mask_rem & ~onehot_b
+        return mask_rem, t_best, tri_best, u_best, v_best
+
+    init = (
+        mask,
+        jnp.full((s,), jnp.inf, jnp.float32),
+        jnp.full((s,), -1.0, jnp.float32),
+        jnp.zeros((s,), jnp.float32),
+        jnp.zeros((s,), jnp.float32),
+    )
+    _, t_best, tri_best, u_best, v_best = jax.lax.while_loop(
+        cond, body, init)
+
+    t_ref[:] = t_best
+    tri_out_ref[:] = tri_best.astype(jnp.int32)
+    u_ref[:] = u_best
+    v_ref[:] = v_best
+
+
+def fits_vmem(tg) -> bool:
+    nt, _, k = tg.block.shape
+    return nt * (9 + 1) * k * 4 <= VMEM_TABLE_BUDGET
+
+
+def trace_closest_pallas(tg, o, d, min_t, max_t, tile: int = TILE,
+                         interpret: bool = False) -> Hit:
+    """Pallas closest-hit (drop-in for accel.binned.trace_closest_slots)."""
+    b_in = o.shape[0]
+    nt, _, k = tg.block.shape
+    min_t = jnp.broadcast_to(jnp.asarray(min_t, jnp.float32), (b_in,))
+    max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (b_in,))
+    pad = (-b_in) % tile
+    if pad:
+        o = jnp.concatenate([o, jnp.full((pad, 3), 1e9, o.dtype)])
+        d = jnp.concatenate(
+            [d, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], d.dtype),
+                         (pad, 1))])
+        min_t = jnp.concatenate([min_t, jnp.zeros((pad,), jnp.float32)])
+        max_t = jnp.concatenate([max_t, jnp.full((pad,), -1.0, jnp.float32)])
+    b = b_in + pad
+    n_tiles = b // tile
+
+    bmin_t = tg.bmin.T  # (3, NT)
+    bmax_t = tg.bmax.T
+    block = tg.block.reshape(nt, 9 * k)
+    tri_f = tg.tri_index.astype(jnp.float32)
+
+    lane_spec = pl.BlockSpec((tile,), lambda i: (i,))
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(
+        0 for _ in shape))
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b,), jnp.float32),
+        jax.ShapeDtypeStruct((b,), jnp.int32),
+        jax.ShapeDtypeStruct((b,), jnp.float32),
+        jax.ShapeDtypeStruct((b,), jnp.float32),
+    ]
+    t, tri, u, v = pl.pallas_call(
+        functools.partial(_kernel, nt=nt, k=k),
+        grid=(n_tiles,),
+        in_specs=[
+            full((3, nt)), full((3, nt)), full((nt, 9 * k)),
+            full((nt, k)),
+            lane_spec, lane_spec, lane_spec,
+            lane_spec, lane_spec, lane_spec,
+            lane_spec, lane_spec,
+        ],
+        out_specs=[lane_spec, lane_spec, lane_spec, lane_spec],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(bmin_t, bmax_t, block, tri_f,
+      o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+      min_t, max_t)
+
+    return Hit(t=t[:b_in], tri=tri[:b_in], u=u[:b_in], v=v[:b_in],
+               valid=tri[:b_in] >= 0)

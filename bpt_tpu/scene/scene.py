@@ -14,6 +14,7 @@ The MTL `illum` -> BSDF map matches renderer.cpp:258-271:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, NamedTuple, Optional
 
 import jax.numpy as jnp
@@ -25,6 +26,7 @@ from ..accel.traverse import TraceGeom
 from ..accel.treelets import build_treelets
 from ..bsdf.bsdf import DIFFUSE, GLASS, MIRROR, MIXTURE, PHONG, MaterialTable
 from .obj import ObjData, load_obj
+from .textures import build_atlas, load_texture
 
 
 class EmitterTable(NamedTuple):
@@ -60,6 +62,13 @@ class SceneData(NamedTuple):
     mat: MaterialTable
     emitters: EmitterTable
     treelets: TreeletGeom       # dense two-level structure (fast tracer)
+    # Bitmap textures (reference: core.h:405-640); empty atlas = none.
+    uv0: jnp.ndarray            # (T+pad, 2) per-corner texcoords
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    mat_tex: jnp.ndarray        # (M,) texture index or -1
+    tex_atlas: jnp.ndarray      # (NTex, Hmax, Wmax, 3)
+    tex_size: jnp.ndarray       # (NTex, 2) (h, w)
 
 
 @dataclasses.dataclass
@@ -110,11 +119,12 @@ def _material_table(obj: ObjData) -> MaterialTable:
     )
 
 
-def build_scene(obj: ObjData) -> tuple[SceneData, SceneMeta]:
+def build_scene(obj: ObjData, tex_dir: str = "") -> tuple[SceneData, SceneMeta]:
     """Flatten an ObjData into (SceneData, SceneMeta)."""
     # --- flatten triangles across shapes (original order) -----------------
     v_idx = np.concatenate([s.v_idx for s in obj.shapes], axis=0)
     n_idx = np.concatenate([s.n_idx for s in obj.shapes], axis=0)
+    t_idx = np.concatenate([s.t_idx for s in obj.shapes], axis=0)
     mat_id = np.concatenate([s.mat_ids for s in obj.shapes], axis=0)
     shape_id = np.concatenate(
         [np.full(len(s.v_idx), i, np.int64) for i, s in enumerate(obj.shapes)]
@@ -155,6 +165,36 @@ def build_scene(obj: ObjData) -> tuple[SceneData, SceneMeta]:
     n0r, n1r, n2r = reorder(n0), reorder(n1), reorder(n2)
     mat_r = reorder(mat_id).astype(np.int32)
     shape_r = reorder(shape_id).astype(np.int32)
+
+    # Per-corner texcoords (zeros when absent).
+    if obj.texcoords.size > 0:
+        tmax = len(obj.texcoords) - 1
+
+        def tc(col):
+            ok = col >= 0
+            vals = obj.texcoords[np.clip(col, 0, tmax)]
+            return np.where(ok[:, None], vals, 0.0).astype(np.float32)
+
+        uv0 = tc(t_idx[:, 0])[perm]
+        uv1 = tc(t_idx[:, 1])[perm]
+        uv2 = tc(t_idx[:, 2])[perm]
+    else:
+        uv0 = uv1 = uv2 = np.zeros((t, 2), np.float32)
+
+    # Diffuse bitmap textures (map_Kd), reference illum factory attaches
+    # them to Diffuse/Phong/Mixture materials (diffuse.h:23-26).
+    images = []
+    mat_tex = np.full(len(obj.materials), -1, np.int32)
+    for i, mt in enumerate(obj.materials):
+        if mt.diffuse_texname:
+            path = mt.diffuse_texname
+            if tex_dir and not os.path.isabs(path):
+                path = os.path.join(tex_dir, path)
+            img = load_texture(path)
+            if img is not None:
+                mat_tex[i] = len(images)
+                images.append(img)
+    atlas, tex_sizes = build_atlas(images)
 
     e1 = v1r - v0r
     e2 = v2r - v0r
@@ -246,6 +286,12 @@ def build_scene(obj: ObjData) -> tuple[SceneData, SceneMeta]:
         mat=_material_table(obj),
         emitters=emitters,
         treelets=treelets,
+        uv0=jnp.asarray(np.concatenate([uv0, pad3[:, :2]])),
+        uv1=jnp.asarray(np.concatenate([uv1, pad3[:, :2]])),
+        uv2=jnp.asarray(np.concatenate([uv2, pad3[:, :2]])),
+        mat_tex=jnp.asarray(mat_tex),
+        tex_atlas=jnp.asarray(atlas),
+        tex_size=jnp.asarray(tex_sizes),
     )
 
     # --- host metadata -----------------------------------------------------
@@ -276,4 +322,7 @@ def build_scene(obj: ObjData) -> tuple[SceneData, SceneMeta]:
 
 
 def load_scene(obj_path: str) -> tuple[SceneData, SceneMeta]:
-    return build_scene(load_obj(obj_path))
+    import os as _os
+
+    return build_scene(load_obj(obj_path),
+                       tex_dir=_os.path.dirname(_os.path.abspath(obj_path)))
