@@ -1,0 +1,65 @@
+"""CLI end-to-end: TOML+OBJ -> render -> EXR, with checkpoint/resume.
+
+Exercises the reference CLI shape (main.cpp:160-181) on an exported
+procedural scene, plus the round-trip property scene export -> load."""
+import os
+
+import numpy as np
+import pytest
+
+from bpt_tpu.cli import main as cli_main
+from bpt_tpu.io.exr import read_exr
+from bpt_tpu.scene.export import export_cornell_box
+from bpt_tpu.scene.scene import load_scene
+
+
+def test_export_roundtrip(tmp_path):
+    toml_path = export_cornell_box(str(tmp_path), width=16, height=16,
+                                   spp=2, rr_depth=2)
+    scene, meta = load_scene(str(tmp_path / "cbox.obj"))
+    assert meta.n_emitters == 1
+    assert meta.n_triangles > 10
+    from bpt_tpu.scene.procedural import cornell_box
+    from bpt_tpu.scene.scene import build_scene
+
+    ref_scene, ref_meta = build_scene(cornell_box())
+    assert meta.n_triangles == ref_meta.n_triangles
+    np.testing.assert_allclose(
+        np.asarray(scene.emitters.area), np.asarray(ref_scene.emitters.area),
+        rtol=1e-4)
+
+
+@pytest.mark.parametrize("integrator,extra", [
+    ("bdpt", {}),
+    ("path", {}),
+    ("normal", {}),
+])
+def test_cli_renders_exr(tmp_path, integrator, extra):
+    toml_path = export_cornell_box(
+        str(tmp_path / integrator), width=16, height=16, spp=2, rr_depth=2,
+        integrator=integrator)
+    out = str(tmp_path / f"{integrator}.exr")
+    rc = cli_main([toml_path, "--out", out, "--spp-chunk", "2"])
+    assert rc == 0
+    img = read_exr(out)
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(img).all()
+    if integrator != "normal":
+        assert img.max() > 0.01
+
+
+def test_cli_checkpoint_resume(tmp_path):
+    toml_path = export_cornell_box(str(tmp_path), width=16, height=16,
+                                   spp=4, rr_depth=2)
+    ck = str(tmp_path / "render.ckpt")
+    out1 = str(tmp_path / "a.exr")
+    rc = cli_main([toml_path, "--out", out1, "--spp-chunk", "2",
+                   "--checkpoint", ck])
+    assert rc == 0 and os.path.exists(ck)
+    # Resuming a finished render does no extra work and writes the same
+    # image.
+    out2 = str(tmp_path / "b.exr")
+    rc = cli_main([toml_path, "--out", out2, "--spp-chunk", "2",
+                   "--checkpoint", ck])
+    assert rc == 0
+    np.testing.assert_array_equal(read_exr(out1), read_exr(out2))
