@@ -30,6 +30,10 @@ def trace_closest(scene, o, d, min_t, max_t) -> traverse.Hit:
 
 
 def trace_any(scene, o, d, min_t, max_t):
+    # Tile-sweep any-hit: shadow rays are t-bounded so tile unions stay
+    # small, and mostly-unoccluded batches would force the per-ray slot
+    # variant to exhaust full overlap lists (measured slower).
     if getattr(scene, "treelets", None) is not None:
-        return binned.trace_any_binned(scene.treelets, o, d, min_t, max_t)
+        tg = getattr(scene, "treelets_any", None) or scene.treelets
+        return binned.trace_any_binned(tg, o, d, min_t, max_t)
     return traverse.trace_any(scene.geom, o, d, min_t, max_t)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..core.math import EPSILON, T_MIN_HIT
 from .traverse import Hit
 
-DEFAULT_TILE = 256
+DEFAULT_TILE = 128
 
 
 class TreeletGeom(NamedTuple):
@@ -405,3 +405,47 @@ def trace_closest_slots(tg: TreeletGeom, o, d, min_t, max_t,
     v_best = v_best.reshape(bp)[:b]
     return Hit(t=t_best, tri=tri_best, u=u_best, v=v_best,
                valid=tri_best >= 0)
+
+
+def trace_any_slots(tg: TreeletGeom, o, d, min_t, max_t) -> jnp.ndarray:
+    """Per-ray slot occlusion query: lanes stop fetching blocks as soon as
+    they find any hit (their remaining overlap mask is cleared), so the
+    loop runs max-over-lanes of min(overlaps, first-hit-position) --
+    typically 1-2 iterations for shadow rays."""
+    b = o.shape[0]
+    nt, _, k = tg.block.shape
+    min_t = jnp.broadcast_to(jnp.asarray(min_t, jnp.float32), (b,))
+    max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (b,))
+    mask = _treelet_mask(tg, o, d, min_t, max_t)
+    block_mat = _block_matrix(tg)
+
+    rx = tuple(a[:, None] for a in (o[:, 0], o[:, 1], o[:, 2],
+                                    d[:, 0], d[:, 1], d[:, 2]))
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
+
+    def cond(state):
+        return jnp.any(state[0])
+
+    def body(state):
+        mask_rem, occ = state
+        has = jnp.any(mask_rem, axis=1)
+        first = jnp.argmax(mask_rem, axis=1)
+        onehot_b = (iota == first[:, None]) & has[:, None]
+        onehot = onehot_b.astype(jnp.float32)
+        fetched = jax.lax.dot_general(
+            onehot, block_mat[:nt],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGH,
+        )
+        comp = fetched[:, : 9 * k].reshape(b, 9, k)
+        tb = tuple(comp[:, c, :] for c in range(9))
+        ok, t, _, _ = _mt_block_soa(rx, tb)
+        ok &= (t >= min_t[:, None]) & (t <= max_t[:, None])
+        ok &= has[:, None]
+        occ = occ | jnp.any(ok, axis=1)
+        mask_rem = mask_rem & ~onehot_b & ~occ[:, None]
+        return mask_rem, occ
+
+    init = (mask, jnp.zeros((b,), bool))
+    _, occ = jax.lax.while_loop(cond, body, init)
+    return occ

@@ -515,25 +515,38 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
         nrays = nrays + nv1
 
         # ---- s>=2: connect to every stored light vertex (bdpt.h:145-149)
+        # All L slots are connected in ONE batched visibility trace of
+        # (L*B,) lanes: per-trace fixed costs on TPU dwarf the per-lane
+        # work, so batching the all-pairs phase is the difference between
+        # O(L) and O(1) trace launches per eye depth.
         if cfg.mode == "bdpt" and l > 0:
-            def conn(s_idx, acc):
-                li_acc, nr_acc = acc
-                from ..scene.textures import albedo_at
+            from ..scene.textures import albedo_at
 
-                lv_kd = albedo_at(scene, slots.tri[s_idx], slots.u[s_idx],
-                                  slots.v[s_idx])
-                c, nv = _connect_vertices(
-                    scene,
-                    slots.p[s_idx], slots.ns[s_idx], slots.wo[s_idx],
-                    slots.throughput[s_idx], slots.vcm[s_idx],
-                    slots.vc[s_idx], slots.rr[s_idx], slots.mat_id[s_idx],
-                    slots.valid[s_idx],
-                    it, throughput, vcm, vc, rr_prob, connectable,
-                    lv_kd, kd_ov,
-                )
-                return li_acc + c, nr_acc + nv
+            lb = l * b
 
-            li, nrays = jax.lax.fori_loop(0, l, conn, (li, nrays))
+            def flat(a):
+                return a.reshape((lb,) + a.shape[2:])
+
+            def tile_eye(a):
+                return jnp.broadcast_to(
+                    a[None], (l,) + a.shape).reshape((lb,) + a.shape[1:])
+
+            lv_kd = albedo_at(scene, flat(slots.tri), flat(slots.u),
+                              flat(slots.v))
+            kd_ov_t = None if kd_ov is None else tile_eye(kd_ov)
+            it_t = jax.tree_util.tree_map(tile_eye, it)
+            c, nv = _connect_vertices(
+                scene,
+                flat(slots.p), flat(slots.ns), flat(slots.wo),
+                flat(slots.throughput), flat(slots.vcm),
+                flat(slots.vc), flat(slots.rr), flat(slots.mat_id),
+                flat(slots.valid),
+                it_t, tile_eye(throughput), tile_eye(vcm), tile_eye(vc),
+                tile_eye(rr_prob), tile_eye(connectable),
+                lv_kd, kd_ov_t,
+            )
+            li = li + jnp.sum(c.reshape(l, b, 3), axis=0)
+            nrays = nrays + nv
 
         o2, d2, thr2, vc2, vcm2, alive2, _ = _continue_walk(
             scene, kd, it, rr_prob, throughput, vc, vcm, alive, kd_ov

@@ -61,7 +61,8 @@ class SceneData(NamedTuple):
     shape_emitter: jnp.ndarray  # (S,) emitter id per shape or -1
     mat: MaterialTable
     emitters: EmitterTable
-    treelets: TreeletGeom       # dense two-level structure (fast tracer)
+    treelets: TreeletGeom       # dense two-level structure (closest-hit)
+    treelets_any: TreeletGeom   # finer (K=16) table tuned for any-hit
     # Bitmap textures (reference: core.h:405-640); empty atlas = none.
     uv0: jnp.ndarray            # (T+pad, 2) per-corner texcoords
     uv1: jnp.ndarray
@@ -211,6 +212,10 @@ def build_scene(obj: ObjData, tex_dir: str = "") -> tuple[SceneData, SceneMeta]:
     tl = build_treelets(bvh, v0r.astype(np.float32),
                         e1.astype(np.float32), e2.astype(np.float32))
     treelets = make_treelet_geom(tl)
+    tl_any = build_treelets(bvh, v0r.astype(np.float32),
+                            e1.astype(np.float32), e2.astype(np.float32),
+                            k=16)
+    treelets_any = make_treelet_geom(tl_any)
 
     geom = TraceGeom(
         v0=jnp.asarray(np.concatenate([v0r, pad3]).astype(np.float32)),
@@ -286,6 +291,7 @@ def build_scene(obj: ObjData, tex_dir: str = "") -> tuple[SceneData, SceneMeta]:
         mat=_material_table(obj),
         emitters=emitters,
         treelets=treelets,
+        treelets_any=treelets_any,
         uv0=jnp.asarray(np.concatenate([uv0, pad3[:, :2]])),
         uv1=jnp.asarray(np.concatenate([uv1, pad3[:, :2]])),
         uv2=jnp.asarray(np.concatenate([uv2, pad3[:, :2]])),

@@ -5,7 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from bpt_tpu.accel.binned import (trace_any_binned, trace_closest_binned,
+from bpt_tpu.accel.binned import (trace_any_binned, trace_any_slots,
+                                  trace_closest_binned,
                                   trace_closest_slots)
 from bpt_tpu.accel.traverse import trace_any, trace_closest
 from bpt_tpu.core.camera import generate_rays
@@ -52,11 +53,15 @@ def test_closest_agrees(scene, tracer):
             > 0.98
 
 
-def test_any_agrees(scene):
+@pytest.mark.parametrize("tracer", ["tiles", "slots"])
+def test_any_agrees(scene, tracer):
     s, cam = scene
     for (o, d, mn, mx) in _ray_sets(s, cam):
         a_ref = trace_any(s.geom, o, d, mn, mx)
-        a_bin = trace_any_binned(s.treelets, o, d, mn, mx, tile=256)
+        if tracer == "tiles":
+            a_bin = trace_any_binned(s.treelets, o, d, mn, mx, tile=256)
+        else:
+            a_bin = trace_any_slots(s.treelets, o, d, mn, mx)
         np.testing.assert_array_equal(np.asarray(a_ref),
                                       np.asarray(a_bin))
 
