@@ -62,9 +62,12 @@ def main():
 
     import numpy as np
 
-    # Warmup / compile.  NOTE: timings must end with a host fetch; on the
-    # axon relay backend block_until_ready only confirms enqueue.
-    fb, nr = render_chunk(scene, cam_consts, cfg, key, 1)
+    # Warmup / compile with the SAME chunk length as the timed run (the
+    # scan length is baked into the compiled program; a different length
+    # would recompile inside the timed region).  NOTE: timings must end
+    # with a host fetch; on the axon relay backend block_until_ready only
+    # confirms enqueue.
+    fb, nr = render_chunk(scene, cam_consts, cfg, key, SPP)
     float(fb.sum())
 
     t0 = time.time()

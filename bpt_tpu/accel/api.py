@@ -11,14 +11,24 @@ import os
 
 from . import binned, traverse
 
-# BPT_PALLAS_TRACE=1 routes closest-hit through the fused Pallas kernel
-# (ops/pallas_trace.py) when the scene's treelet tables fit in VMEM.
-_USE_PALLAS = os.environ.get("BPT_PALLAS_TRACE", "0") == "1"
+# Closest-hit routes through the fused Pallas kernel (ops/pallas_trace.py)
+# on TPU backends when the scene's treelet tables fit in VMEM (~3x faster
+# than the XLA slot tracer on v5e).  BPT_PALLAS_TRACE=0 forces the XLA
+# path; =1 forces Pallas (e.g. interpret-mode debugging).
+_PALLAS_ENV = os.environ.get("BPT_PALLAS_TRACE", "")
+
+
+def _use_pallas() -> bool:
+    if _PALLAS_ENV in ("0", "1"):
+        return _PALLAS_ENV == "1"
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def trace_closest(scene, o, d, min_t, max_t) -> traverse.Hit:
     if getattr(scene, "treelets", None) is not None:
-        if _USE_PALLAS:
+        if _use_pallas():
             from ..ops.pallas_trace import fits_vmem, trace_closest_pallas
 
             if fits_vmem(scene.treelets):

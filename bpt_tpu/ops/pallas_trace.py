@@ -35,7 +35,7 @@ except Exception:  # pragma: no cover
 from ..accel.traverse import Hit
 from ..core.math import EPSILON, T_MIN_HIT
 
-TILE = 256
+TILE = 1024
 # VMEM budget for the treelet tables (bytes); beyond this the caller should
 # use the XLA tracer.
 VMEM_TABLE_BUDGET = 8 * 1024 * 1024
@@ -44,6 +44,9 @@ VMEM_TABLE_BUDGET = 8 * 1024 * 1024
 def _kernel(bmin_ref, bmax_ref, block_ref, tri_ref, ox_ref, oy_ref, oz_ref,
             dx_ref, dy_ref, dz_ref, mnt_ref, mxt_ref,
             t_ref, tri_out_ref, u_ref, v_ref, *, nt: int, k: int):
+    # 1D f32 operands carry XLA layout T(1024), so the lane block must be a
+    # 1024 multiple; VMEM pressure from the (S, NT) intermediates is covered
+    # by the raised vmem_limit_bytes below.
     s = ox_ref.shape[0]
     ox = ox_ref[:][:, None]
     oy = oy_ref[:][:, None]
@@ -76,18 +79,25 @@ def _kernel(bmin_ref, bmax_ref, block_ref, tri_ref, ox_ref, oy_ref, oz_ref,
     tri_f = tri_ref[:]         # (NT, K) f32 triangle ids
 
     def cond(state):
-        return jnp.any(state[0])
+        # mask carried as f32 0/1: Mosaic legalizes f32 while-carries and
+        # reductions where bool vectors fail.
+        return jnp.max(state[0]) > 0.0
 
     def body(state):
         mask_rem, t_best, tri_best, u_best, v_best = state
-        has = jnp.any(mask_rem, axis=1)          # (S,)
-        first = jnp.argmax(mask_rem, axis=1)     # (S,)
+        has = jnp.max(mask_rem, axis=1) > 0.0    # (S,)
+        first = jnp.argmax(mask_rem, axis=1)     # (S,) f32 operand
         onehot_b = (iota_nt == first[:, None]) & has[:, None]
         onehot = onehot_b.astype(jnp.float32)    # (S, NT)
+        # HIGHEST: default MXU precision truncates operands to bf16, which
+        # corrupts the fetched vertex coordinates; bf16x3 is exact for a
+        # one-hot selector (1.0 x f32-split value).
         fetched = jnp.dot(onehot, block,
-                          preferred_element_type=jnp.float32)  # (S, 9K)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)  # (S, 9K)
         trib = jnp.dot(onehot, tri_f,
-                       preferred_element_type=jnp.float32)     # (S, K)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)     # (S, K)
 
         def comp(c):
             return fetched[:, c * k:(c + 1) * k]
@@ -132,11 +142,11 @@ def _kernel(bmin_ref, bmax_ref, block_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         tri_best = jnp.where(improved, sel(trib), tri_best)
         u_best = jnp.where(improved, sel(uu), u_best)
         v_best = jnp.where(improved, sel(vv), v_best)
-        mask_rem = mask_rem & ~onehot_b
+        mask_rem = mask_rem - onehot
         return mask_rem, t_best, tri_best, u_best, v_best
 
     init = (
-        mask,
+        mask.astype(jnp.float32),
         jnp.full((s,), jnp.inf, jnp.float32),
         jnp.full((s,), -1.0, jnp.float32),
         jnp.zeros((s,), jnp.float32),
@@ -189,6 +199,16 @@ def trace_closest_pallas(tg, o, d, min_t, max_t, tile: int = TILE,
         jax.ShapeDtypeStruct((b,), jnp.float32),
         jax.ShapeDtypeStruct((b,), jnp.float32),
     ]
+    kwargs = {}
+    if pltpu is not None and not interpret:
+        # The (S, NT) masks + (S, 9K) fetch buffers exceed the compiler's
+        # default 16MB scoped-VMEM cap at S=1024; the chip has far more.
+        try:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)
+        except AttributeError:  # older jax
+            kwargs["compiler_params"] = pltpu.TPUCompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)
     t, tri, u, v = pl.pallas_call(
         functools.partial(_kernel, nt=nt, k=k),
         grid=(n_tiles,),
@@ -202,6 +222,7 @@ def trace_closest_pallas(tg, o, d, min_t, max_t, tile: int = TILE,
         out_specs=[lane_spec, lane_spec, lane_spec, lane_spec],
         out_shape=out_shape,
         interpret=interpret,
+        **kwargs,
     )(bmin_t, bmax_t, block, tri_f,
       o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
       min_t, max_t)
