@@ -148,13 +148,21 @@ def _continue_walk(scene, lkeys, it, rr_prob, throughput, vc, vcm, alive,
     return it.p, d_world, throughput, vc, vcm, alive_out, s.wi
 
 
-def _visible(scene, start, end):
+def _visible(scene, start, end, needed=None):
     """visibilityQuery: True when the segment is *occluded*
-    (reference: bdpt.h:498-514).  Ray [Epsilon, dist - 1e-5]."""
+    (reference: bdpt.h:498-514).  Ray [Epsilon, dist - 1e-5].
+
+    needed: optional (B,) mask; lanes already known dead are traced as
+    degenerate segments (max_t < min_t), which empties their treelet
+    overlap lists so occlusion tiles with many dead lanes sweep fewer
+    blocks."""
     seg = end - start
     dist = length(seg)
     d = seg / jnp.maximum(dist, 1e-20)[..., None]
-    return trace_any(scene, start, d, EPSILON, dist - VIS_SHORTEN)
+    max_t = dist - VIS_SHORTEN
+    if needed is not None:
+        max_t = jnp.where(needed, max_t, -1.0)
+    return trace_any(scene, start, d, EPSILON, max_t)
 
 
 def _connect_to_camera(scene, cam_consts, cfg: BDPTConfig, it, throughput,
@@ -180,7 +188,8 @@ def _connect_to_camera(scene, cam_consts, cfg: BDPTConfig, it, throughput,
     f = bsdf.eval_bsdf(scene.mat, it.mat_id, it.wo, wi_local, kd_ov)
     ok &= ~is_zero_rgb(f) & (wi_local[..., 2] > 0.0)
 
-    occluded = _visible(scene, jnp.broadcast_to(cam_o, it.p.shape), it.p)
+    occluded = _visible(scene, jnp.broadcast_to(cam_o, it.p.shape), it.p,
+                        needed=ok)
     n_vis = jnp.sum(ok)
     ok &= ~occluded
 
@@ -355,7 +364,7 @@ def _connect_to_light(scene, cfg: BDPTConfig, lkeys, it, throughput, vcm, vc,
     ok &= ~is_zero_rgb(li)
 
     n_vis = jnp.sum(ok)
-    occluded = _visible(scene, it.p, es.pos)
+    occluded = _visible(scene, it.p, es.pos, needed=ok)
     ok &= ~occluded
 
     light_rev_pdf_w = (
@@ -397,7 +406,7 @@ def _connect_vertices(scene, lv_p, lv_ns, lv_wo, lv_thr, lv_vcm, lv_vc,
     ok = active & lv_valid & (cos_l > 0.0) & (cos_e > 0.0)
 
     n_vis = jnp.sum(ok)
-    occluded = _visible(scene, it.p, lv_p)
+    occluded = _visible(scene, it.p, lv_p, needed=ok)
     ok &= ~occluded
 
     f_l = bsdf.eval_bsdf(scene.mat, lv_mid, lv_wo, wi_light, lv_kd)
