@@ -41,7 +41,35 @@ TILE = 1024
 VMEM_TABLE_BUDGET = 8 * 1024 * 1024
 
 
-def _kernel(bmin_ref, bmax_ref, block_ref, tri_ref, ox_ref, oy_ref, oz_ref,
+def _split3(x):
+    """Split f32 into three bf16 parts summing (exactly, in f32) back to x.
+
+    Used for the one-hot block fetch: Mosaic only lowers DEFAULT (1-pass
+    bf16, truncates operands) and HIGHEST (6-pass) dot precisions; a
+    pre-split table + 3 DEFAULT passes recovers full f32 at half the
+    HIGHEST cost, because the one-hot left operand is exact in bf16."""
+    x = x.astype(jnp.float32)
+    hi = x.astype(jnp.bfloat16)
+    r = x - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _fetch3(onehot, parts):
+    """dot(onehot, x) exactly via the 3 bf16 split parts of x."""
+    oh = onehot.astype(jnp.bfloat16)
+    out = None
+    for p in parts:
+        acc = jnp.dot(oh, p, preferred_element_type=jnp.float32)
+        out = acc if out is None else out + acc
+    return out
+
+
+def _kernel(bmin_ref, bmax_ref,
+            blk_hi_ref, blk_mid_ref, blk_lo_ref,
+            tri_hi_ref, tri_mid_ref, tri_lo_ref,
+            ox_ref, oy_ref, oz_ref,
             dx_ref, dy_ref, dz_ref, mnt_ref, mxt_ref,
             t_ref, tri_out_ref, u_ref, v_ref, *, nt: int, k: int):
     # 1D f32 operands carry XLA layout T(1024), so the lane block must be a
@@ -83,8 +111,8 @@ def _kernel(bmin_ref, bmax_ref, block_ref, tri_ref, ox_ref, oy_ref, oz_ref,
 
     iota_nt = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
 
-    block = block_ref[:]       # (NT, 9*K)
-    tri_f = tri_ref[:]         # (NT, K) f32 triangle ids
+    blk_parts = (blk_hi_ref[:], blk_mid_ref[:], blk_lo_ref[:])  # (NT, 9K)
+    tri_parts = (tri_hi_ref[:], tri_mid_ref[:], tri_lo_ref[:])  # (NT, K)
 
     def cond(state):
         entry_rem, t_best = state[0], state[1]
@@ -100,15 +128,8 @@ def _kernel(bmin_ref, bmax_ref, block_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         first = jnp.argmin(entry_rem, axis=1)    # (S,) f32 operand
         onehot_b = (iota_nt == first[:, None]) & has[:, None]
         onehot = onehot_b.astype(jnp.float32)    # (S, NT)
-        # HIGHEST: default MXU precision truncates operands to bf16, which
-        # corrupts the fetched vertex coordinates; bf16x3 is exact for a
-        # one-hot selector (1.0 x f32-split value).
-        fetched = jnp.dot(onehot, block,
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)  # (S, 9K)
-        trib = jnp.dot(onehot, tri_f,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)     # (S, K)
+        fetched = _fetch3(onehot, blk_parts)     # (S, 9K) exact f32
+        trib = _fetch3(onehot, tri_parts)        # (S, K)
 
         def comp(c):
             return fetched[:, c * k:(c + 1) * k]
@@ -172,7 +193,9 @@ def _kernel(bmin_ref, bmax_ref, block_ref, tri_ref, ox_ref, oy_ref, oz_ref,
     v_ref[:] = v_best
 
 
-def _any_kernel(bmin_ref, bmax_ref, block_ref, ox_ref, oy_ref, oz_ref,
+def _any_kernel(bmin_ref, bmax_ref,
+                blk_hi_ref, blk_mid_ref, blk_lo_ref,
+                ox_ref, oy_ref, oz_ref,
                 dx_ref, dy_ref, dz_ref, mnt_ref, mxt_ref,
                 occ_ref, *, nt: int, k: int):
     """Any-hit (occlusion) variant: lanes clear their remaining treelet
@@ -206,7 +229,7 @@ def _any_kernel(bmin_ref, bmax_ref, block_ref, ox_ref, oy_ref, oz_ref,
     mask = (tfar >= tnear) & (tnear <= mxt) & (tfar >= mnt)
 
     iota_nt = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
-    block = block_ref[:]       # (NT, 9*K)
+    blk_parts = (blk_hi_ref[:], blk_mid_ref[:], blk_lo_ref[:])
 
     def cond(state):
         return jnp.max(state[0]) > 0.0
@@ -217,9 +240,7 @@ def _any_kernel(bmin_ref, bmax_ref, block_ref, ox_ref, oy_ref, oz_ref,
         first = jnp.argmax(mask_rem, axis=1)
         onehot_b = (iota_nt == first[:, None]) & has[:, None]
         onehot = onehot_b.astype(jnp.float32)
-        fetched = jnp.dot(onehot, block,
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+        fetched = _fetch3(onehot, blk_parts)
 
         def comp(c):
             return fetched[:, c * k:(c + 1) * k]
@@ -281,7 +302,7 @@ def trace_any_pallas(tg, o, d, min_t, max_t, tile: int = TILE,
 
     bmin_t = tg.bmin.T
     bmax_t = tg.bmax.T
-    block = tg.block.reshape(nt, 9 * k)
+    blk_parts = _split3(tg.block.reshape(nt, 9 * k))
 
     lane_spec = pl.BlockSpec((tile,), lambda i: (i,))
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(
@@ -299,7 +320,8 @@ def trace_any_pallas(tg, o, d, min_t, max_t, tile: int = TILE,
         functools.partial(_any_kernel, nt=nt, k=k),
         grid=(n_tiles,),
         in_specs=[
-            full((3, nt)), full((3, nt)), full((nt, 9 * k)),
+            full((3, nt)), full((3, nt)),
+            full((nt, 9 * k)), full((nt, 9 * k)), full((nt, 9 * k)),
             lane_spec, lane_spec, lane_spec,
             lane_spec, lane_spec, lane_spec,
             lane_spec, lane_spec,
@@ -308,7 +330,7 @@ def trace_any_pallas(tg, o, d, min_t, max_t, tile: int = TILE,
         out_shape=[jax.ShapeDtypeStruct((b,), jnp.float32)],
         interpret=interpret,
         **kwargs,
-    )(bmin_t, bmax_t, block,
+    )(bmin_t, bmax_t, *blk_parts,
       o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
       min_t, max_t)[0]
 
@@ -340,8 +362,8 @@ def trace_closest_pallas(tg, o, d, min_t, max_t, tile: int = TILE,
 
     bmin_t = tg.bmin.T  # (3, NT)
     bmax_t = tg.bmax.T
-    block = tg.block.reshape(nt, 9 * k)
-    tri_f = tg.tri_index.astype(jnp.float32)
+    blk_parts = _split3(tg.block.reshape(nt, 9 * k))
+    tri_parts = _split3(tg.tri_index.astype(jnp.float32))
 
     lane_spec = pl.BlockSpec((tile,), lambda i: (i,))
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(
@@ -367,8 +389,9 @@ def trace_closest_pallas(tg, o, d, min_t, max_t, tile: int = TILE,
         functools.partial(_kernel, nt=nt, k=k),
         grid=(n_tiles,),
         in_specs=[
-            full((3, nt)), full((3, nt)), full((nt, 9 * k)),
-            full((nt, k)),
+            full((3, nt)), full((3, nt)),
+            full((nt, 9 * k)), full((nt, 9 * k)), full((nt, 9 * k)),
+            full((nt, k)), full((nt, k)), full((nt, k)),
             lane_spec, lane_spec, lane_spec,
             lane_spec, lane_spec, lane_spec,
             lane_spec, lane_spec,
@@ -377,7 +400,7 @@ def trace_closest_pallas(tg, o, d, min_t, max_t, tile: int = TILE,
         out_shape=out_shape,
         interpret=interpret,
         **kwargs,
-    )(bmin_t, bmax_t, block, tri_f,
+    )(bmin_t, bmax_t, *blk_parts, *tri_parts,
       o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
       min_t, max_t)
 
