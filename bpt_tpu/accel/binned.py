@@ -133,6 +133,47 @@ def _mt_block_soa(rx, tb):
     return ok, t, u, v
 
 
+def _prep_segment(tg, o, d, min_t, max_t, tile):
+    """Tile work lists for BOUNDED segment queries (shadow rays).
+
+    The exact per-ray (B, NT) slab matrix costs ~GBs of HBM traffic (it
+    dominates the whole occlusion query).  For segments we instead build a
+    per-TILE AABB of the lane segments and test it against the treelet
+    AABBs -- (n_tiles, NT), 128x smaller.  The resulting lists are a
+    conservative superset of the exact tile unions, which only adds loop
+    iterations; the per-lane Moeller-Trumbore bounds keep results exact."""
+    b_in = o.shape[0]
+    tile = min(tile, max(b_in, 1))
+    min_t = jnp.broadcast_to(jnp.asarray(min_t, jnp.float32), (b_in,))
+    max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (b_in,))
+    o, d, min_t, max_t, _ = _pad_rays(o, d, min_t, max_t, tile)
+    b = o.shape[0]
+    n_tiles = b // tile
+
+    valid = (max_t >= min_t)[:, None]
+    p0 = o + d * min_t[:, None]
+    p1 = o + d * max_t[:, None]
+    lo = jnp.where(valid, jnp.minimum(p0, p1), jnp.inf)
+    hi = jnp.where(valid, jnp.maximum(p0, p1), -jnp.inf)
+    tlo = jnp.min(lo.reshape(n_tiles, tile, 3), axis=1)  # (n_tiles, 3)
+    thi = jnp.max(hi.reshape(n_tiles, tile, 3), axis=1)
+
+    tile_any = jnp.all(
+        (tlo[:, None, :] <= tg.bmax[None]) & (thi[:, None, :] >= tg.bmin[None]),
+        axis=-1,
+    )  # (n_tiles, NT)
+    counts = jnp.sum(tile_any, axis=-1)
+    lists = jnp.argsort(~tile_any, axis=-1, stable=True).astype(jnp.int32)
+
+    rx = tuple(
+        a.reshape(n_tiles, 1, tile)
+        for a in (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2])
+    )
+    return (b_in, b, tile, n_tiles, rx, lists, counts,
+            min_t.reshape(n_tiles, 1, tile),
+            max_t.reshape(n_tiles, 1, tile))
+
+
 def _prep(tg, o, d, min_t, max_t, tile):
     b_in = o.shape[0]
     tile = min(tile, max(b_in, 1))
@@ -212,11 +253,74 @@ def trace_closest_binned(tg: TreeletGeom, o, d, min_t, max_t,
                valid=tri_best >= 0)
 
 
+def trace_any_peel(tg: TreeletGeom, o, d, min_t, max_t,
+                   tile: int = DEFAULT_TILE) -> jnp.ndarray:
+    """Tile-sweep occlusion via argmax-peeling (no per-tile argsort).
+
+    Same traversal as trace_any_binned, but instead of materializing
+    sorted work lists (an argsort over (n_tiles, NT) costs as much as the
+    whole sweep), each iteration extracts every tile's next remaining
+    treelet with an argmax over the carried (n_tiles, NT) tile mask."""
+    b_in = o.shape[0]
+    tile = min(tile, max(b_in, 1))
+    min_t = jnp.broadcast_to(jnp.asarray(min_t, jnp.float32), (b_in,))
+    max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (b_in,))
+    o, d, min_t, max_t, _ = _pad_rays(o, d, min_t, max_t, tile)
+    b = o.shape[0]
+    n_tiles = b // tile
+
+    mask = _treelet_mask(tg, o, d, min_t, max_t)
+    tile_mask = jnp.any(
+        mask.reshape(n_tiles, tile, -1), axis=1).astype(jnp.float32)
+
+    rx = tuple(
+        a.reshape(n_tiles, 1, tile)
+        for a in (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2])
+    )
+    mint = min_t.reshape(n_tiles, 1, tile)
+    maxt = max_t.reshape(n_tiles, 1, tile)
+    nt = tg.bmin.shape[0]
+    iota = jnp.arange(nt)[None, :]
+
+    def cond(state):
+        tm, occ = state
+        return jnp.max(tm) > 0.0
+
+    def body(state):
+        tm, occ = state
+        has = jnp.max(tm, axis=1) > 0.0          # (n_tiles,)
+        tau = jnp.argmax(tm, axis=1)             # (n_tiles,)
+        ok, t, _, _ = _mt_block_soa(rx, _blocks(tg, tau))
+        ok &= (t >= mint) & (t <= maxt)
+        ok &= has[:, None, None]
+        occ = occ | jnp.any(ok, axis=1)
+        # clear the visited entry; fully-occluded tiles drop their rows
+        tm = tm * (iota != tau[:, None])
+        all_occ = jnp.all(occ, axis=1)
+        tm = tm * (~all_occ[:, None])
+        return tm, occ
+
+    init = (tile_mask, jnp.zeros((n_tiles, tile), bool))
+    _, occ = jax.lax.while_loop(cond, body, init)
+    return occ.reshape(b)[:b_in]
+
+
 def trace_any_binned(tg: TreeletGeom, o, d, min_t, max_t,
-                     tile: int = DEFAULT_TILE) -> jnp.ndarray:
+                     tile: int = DEFAULT_TILE, j: int = 4) -> jnp.ndarray:
+    """Tile-sweep occlusion query.
+
+    j: list entries processed per loop iteration.  The per-iteration fixed
+    costs (row gather, small fused ops, loop plumbing) dominate over the
+    triangle tests themselves, so batching J entries cuts wall time nearly
+    J-fold until the MT test matrix saturates the VPU."""
     (b_in, b, tile, n_tiles, rx, lists, counts, mint, maxt) = _prep(
         tg, o, d, min_t, max_t, tile)
     max_count = jnp.max(counts)
+    nt, _, k = tg.block.shape
+    # Pad so the j-wide dynamic_slice never clamps at the tail (clamping
+    # would misalign entries against the `active` position mask).
+    lists = jnp.concatenate(
+        [lists, jnp.zeros((n_tiles, j), lists.dtype)], axis=1)
 
     def cond(state):
         m, occ = state
@@ -224,13 +328,18 @@ def trace_any_binned(tg: TreeletGeom, o, d, min_t, max_t,
 
     def body(state):
         m, occ = state
-        tau = jax.lax.dynamic_index_in_dim(lists, m, axis=1, keepdims=False)
-        active = m < counts
-        ok, t, _, _ = _mt_block_soa(rx, _blocks(tg, tau))
+        tau = jax.lax.dynamic_slice(lists, (0, m), (n_tiles, j))
+        active = (m + jnp.arange(j)) < counts[:, None]  # (n_tiles, j)
+        blk = tg.block[tau]  # (n_tiles, j, 9, K)
+        tb = tuple(
+            blk[:, :, c, :].reshape(n_tiles, j * k)[..., None]
+            for c in range(9)
+        )
+        ok, t, _, _ = _mt_block_soa(rx, tb)  # (n_tiles, j*K, S)
         ok &= (t >= mint) & (t <= maxt)
-        ok &= active[:, None, None]
+        ok &= jnp.repeat(active, k, axis=1)[..., None]
         occ = occ | jnp.any(ok, axis=1)
-        return m + 1, occ
+        return m + j, occ
 
     init = (jnp.int32(0), jnp.zeros((n_tiles, tile), bool))
     _, occ = jax.lax.while_loop(cond, body, init)

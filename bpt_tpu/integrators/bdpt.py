@@ -533,12 +533,14 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
 
             lb = l * b
 
-            def flat(a):
-                return a.reshape((lb,) + a.shape[2:])
+            # Pixel-major lane layout (pixel p's L segments adjacent): all
+            # of a pixel's connection rays share their eye-vertex origin,
+            # which keeps the occlusion tile-sweep treelet unions small.
+            def flat(a):  # (L, B, ...) -> (B*L, ...)
+                return jnp.swapaxes(a, 0, 1).reshape((lb,) + a.shape[2:])
 
-            def tile_eye(a):
-                return jnp.broadcast_to(
-                    a[None], (l,) + a.shape).reshape((lb,) + a.shape[1:])
+            def tile_eye(a):  # (B, ...) -> (B*L, ...) repeating each lane
+                return jnp.repeat(a, l, axis=0)
 
             lv_kd = albedo_at(scene, flat(slots.tri), flat(slots.u),
                               flat(slots.v))
@@ -572,18 +574,23 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
 
 
 def render_sample(scene: SceneData, cam_consts, cfg: BDPTConfig, key,
-                  pixel_idx):
+                  pixel_idx, lkeys=None):
     """One pixel-sample per lane -> framebuffer contribution.
 
     Mirrors BDPTIntegrator::render (reference: bdpt.h:219-241) plus the
     driver's per-pixel accumulation (renderer.cpp:183-207), returning a
     dense (W*H, 3) framebuffer increment (eye contributions at their own
     pixel + light-tracing splats anywhere).
+
+    lkeys: optional pre-built (B,) lane keys; callers batching several
+    samples in one dispatch pass tiled pixel ids with per-(pixel, sample)
+    keys (key is then unused).
     """
     b = pixel_idx.shape[0]
     w, h = cfg.width, cfg.height
 
-    lkeys = rng.lane_keys(key, pixel_idx)
+    if lkeys is None:
+        lkeys = rng.lane_keys(key, pixel_idx)
     jitter = None
     if cfg.spp > 1:
         jitter = rng.uniform2(rng.lane_fold(lkeys, rng.PIXEL_JITTER))
@@ -632,37 +639,56 @@ def render_sample(scene: SceneData, cam_consts, cfg: BDPTConfig, key,
     return fb[: w * h], nrays
 
 
-@partial(jax.jit, static_argnames=("cfg", "spp_chunk"))
+@partial(jax.jit, static_argnames=("cfg", "spp_chunk", "samples_per_batch"))
 def render_chunk(scene: SceneData, cam_consts, cfg: BDPTConfig, key,
-                 spp_chunk: int = 1, sample_offset=0):
+                 spp_chunk: int = 1, sample_offset=0,
+                 samples_per_batch: int = 1):
     """Render `spp_chunk` full-image samples, accumulating a framebuffer.
 
     Sample s gets key fold_in(key, sample_offset + s), so the estimate is
-    invariant to chunking and to device sharding (the same convention is
-    used by parallel/mesh.py).  The returned buffer is already divided by
-    cfg.spp (total), so summing all chunks yields the final image
-    (reference accumulation: renderer.cpp:183-207)."""
-    w, h = cfg.width, cfg.height
-    pixel_idx = jnp.arange(w * h, dtype=jnp.int32)
+    invariant to chunking, to device sharding, AND to samples_per_batch
+    (randomness is keyed by (pixel, sample) identity, never array
+    position).  The returned buffer is already divided by cfg.spp (total),
+    so summing all chunks yields the final image (reference accumulation:
+    renderer.cpp:183-207).
 
-    def body(carry, s):
+    samples_per_batch: samples fused into one wavefront dispatch (lanes =
+    sb * W * H).  Larger batches amortize per-trace fixed costs --
+    measured ~2x rays/s going from 65k to 262k lanes on v5e -- at the
+    cost of proportional path-state memory.  Must divide spp_chunk."""
+    w, h = cfg.width, cfg.height
+    sb = samples_per_batch
+    if spp_chunk % sb != 0:
+        raise ValueError(f"spp_chunk={spp_chunk} not divisible by "
+                         f"samples_per_batch={sb}")
+    pixel_idx = jnp.arange(w * h, dtype=jnp.int32)
+    # Pixel-major interleave (p0s0, p0s1, ..., p1s0, ...): the sb samples
+    # of one pixel sit in the same trace tile, and their shadow rays are
+    # highly coherent, which keeps the tile-sweep treelet unions small.
+    pixel_idx_t = jnp.repeat(pixel_idx, sb)
+
+    def body(carry, bi):
         fb, nrays = carry
+        sids = sample_offset + bi * sb + jnp.arange(sb)
+        skeys = jax.vmap(lambda s: jax.random.fold_in(key, s))(sids)
+        lkeys = jax.vmap(
+            lambda sk: rng.lane_keys(sk, pixel_idx))(skeys)  # (sb, wh)
+        lkeys = lkeys.T.reshape((sb * w * h,))               # pixel-major
         fb_s, nr = render_sample(
-            scene, cam_consts, cfg,
-            jax.random.fold_in(key, sample_offset + s), pixel_idx
+            scene, cam_consts, cfg, key, pixel_idx_t, lkeys=lkeys
         )
         return (fb + fb_s, nrays + nr), None
 
     (fb, nrays), _ = jax.lax.scan(
         body,
         (jnp.zeros((w * h, 3), jnp.float32), jnp.int32(0)),
-        jnp.arange(spp_chunk),
+        jnp.arange(spp_chunk // sb),
     )
     return fb, nrays
 
 
 def render_image(scene: SceneData, camera, cfg: BDPTConfig, seed: int = 0,
-                 spp_chunk: int = 4):
+                 spp_chunk: int = 4, samples_per_batch: int = 1):
     """Host-side driver: loop spp in chunks, return (H, W, 3) image and
     total ray count."""
     cam_consts = camera.device_constants()
@@ -672,8 +698,10 @@ def render_image(scene: SceneData, camera, cfg: BDPTConfig, seed: int = 0,
     done = 0
     while done < cfg.spp:
         n = min(spp_chunk, cfg.spp - done)
+        sb = samples_per_batch if n % samples_per_batch == 0 else 1
         fb_c, nr = render_chunk(
-            scene, cam_consts, cfg, key, n, sample_offset=done
+            scene, cam_consts, cfg, key, n, sample_offset=done,
+            samples_per_batch=sb,
         )
         fb = fb + fb_c
         total_rays += int(nr)
