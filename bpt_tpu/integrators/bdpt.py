@@ -556,7 +556,8 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
                 tile_eye(rr_prob), tile_eye(connectable),
                 lv_kd, kd_ov_t,
             )
-            li = li + jnp.sum(c.reshape(l, b, 3), axis=0)
+            # c is pixel-major ((B, L) flattened), so fold back as (B, L).
+            li = li + jnp.sum(c.reshape(b, l, 3), axis=1)
             nrays = nrays + nv
 
         o2, d2, thr2, vc2, vcm2, alive2, _ = _continue_walk(
