@@ -28,6 +28,10 @@ def main(argv=None):
     ap.add_argument("--spp-chunk", type=int, default=4)
     ap.add_argument("--checkpoint", default=None,
                     help="checkpoint file; resume if it exists")
+    ap.add_argument("--preview", action="store_true",
+                    help="write the EXR after every spp chunk (progressive "
+                         "preview; the TPU-honest analog of the reference's "
+                         "realtime first-frame save, renderpass.cpp:65-80)")
     args = ap.parse_args(argv)
 
     import jax
@@ -37,7 +41,12 @@ def main(argv=None):
     from .integrators.direct import DirectConfig, render_image_direct
     from .integrators.misc import MiscConfig, render_image_misc
     from .integrators.path import PathConfig, render_image_path
-    from .io.checkpoint import load_checkpoint, save_checkpoint
+    from .io.checkpoint import (
+        check_resume,
+        config_hash,
+        load_checkpoint,
+        save_checkpoint,
+    )
     from .io.exr import write_exr
     from .scene.scene import load_scene
     from .scene.toml_config import load_toml
@@ -59,6 +68,7 @@ def main(argv=None):
     out_path = args.out or os.path.splitext(args.scene)[0] + ".exr"
 
     t0 = time.time()
+    n_rays = 0
     if cfg_t.integrator == "bdpt":
         cfg = BDPTConfig(
             width=cfg_t.width, height=cfg_t.height, spp=cfg_t.spp,
@@ -68,21 +78,32 @@ def main(argv=None):
         key = jax.random.key(args.seed)
         fb = np.zeros((cfg.width * cfg.height, 3), np.float32)
         done = 0
+        cfg_hash = config_hash(
+            scene=os.path.abspath(cfg_t.obj_file), integrator="bdpt",
+            width=cfg.width, height=cfg.height, spp=cfg.spp,
+            rr_depth=cfg.rr_depth, rr_prob=cfg.rr_prob, seed=args.seed,
+        )
         if args.checkpoint:
             ck = load_checkpoint(args.checkpoint)
             if ck is not None:
-                fb, seed_ck, done, _ = ck
+                check_resume(ck, args.seed, cfg_hash)
+                fb, done = ck.fb, ck.spp_done
                 print(f"resumed at {done}/{cfg.spp} spp")
         while done < cfg.spp:
             n = min(args.spp_chunk, cfg.spp - done)
-            fb_c, _ = render_chunk(
+            fb_c, nr = render_chunk(
                 scene, cam_consts, cfg, key, n, sample_offset=done
             )
             fb = fb + np.asarray(fb_c)
+            n_rays += int(nr)
             done += n
             if args.checkpoint:
                 save_checkpoint(args.checkpoint, fb, args.seed, done,
-                                cfg.spp)
+                                cfg.spp, cfg_hash)
+            if args.preview and done < cfg.spp:
+                # partial estimate scaled to the samples taken so far
+                write_exr(out_path, (fb * (cfg.spp / done)).reshape(
+                    cfg.height, cfg.width, 3))
             print(f"\r{done}/{cfg.spp} spp", end="", flush=True)
         print()
         img = fb.reshape(cfg.height, cfg.width, 3)
@@ -120,9 +141,28 @@ def main(argv=None):
               file=sys.stderr)
         return 1
 
-    print(f"Render took: {time.time() - t0:.2f} seconds.")
+    wall = time.time() - t0
+    print(f"Render took: {wall:.2f} seconds.")
     write_exr(out_path, img)
     print(f"Saved EXR image to {out_path}")
+
+    # Structured metadata alongside the EXR (SURVEY.md section 5:
+    # "structured logging + saved metadata alongside EXR").
+    import json
+
+    meta_out = {
+        "scene": os.path.abspath(args.scene),
+        "integrator": cfg_t.integrator,
+        "width": cfg_t.width, "height": cfg_t.height, "spp": cfg_t.spp,
+        "seed": args.seed,
+        "wall_s": round(wall, 3),
+        "rays": n_rays,
+        "rays_per_sec": round(n_rays / max(wall, 1e-9), 1) if n_rays else None,
+        "device": str(jax.devices()[0]),
+        "n_devices": jax.device_count(),
+    }
+    with open(out_path + ".meta.json", "w") as f:
+        json.dump(meta_out, f, indent=1)
     return 0
 
 

@@ -63,3 +63,68 @@ def test_cli_checkpoint_resume(tmp_path):
                    "--checkpoint", ck])
     assert rc == 0
     np.testing.assert_array_equal(read_exr(out1), read_exr(out2))
+    # Metadata is written alongside the EXR (SURVEY.md section 5).
+    import json
+
+    with open(out2 + ".meta.json") as f:
+        meta = json.load(f)
+    assert meta["spp"] == 4 and meta["width"] == 16
+
+
+def test_cli_checkpoint_guards(tmp_path):
+    """Resuming with a different --seed or config must hard-error, not
+    silently blend sample streams (VERDICT r1 weak item 4)."""
+    from bpt_tpu.io.checkpoint import CheckpointMismatch
+
+    toml_path = export_cornell_box(str(tmp_path), width=16, height=16,
+                                   spp=4, rr_depth=2)
+    ck = str(tmp_path / "render.ckpt")
+    out = str(tmp_path / "a.exr")
+    rc = cli_main([toml_path, "--out", out, "--spp-chunk", "2",
+                   "--checkpoint", ck, "--seed", "1"])
+    assert rc == 0
+    with pytest.raises(CheckpointMismatch):
+        cli_main([toml_path, "--out", out, "--spp-chunk", "2",
+                  "--checkpoint", ck, "--seed", "2"])
+
+
+def test_checkpoint_partial_resume_matches_straight_run(tmp_path,
+                                                        monkeypatch):
+    """A render interrupted mid-way and resumed produces the same image
+    as an uninterrupted run (sample keys depend on (pixel, sample) ids,
+    not on chunking)."""
+    toml_path = export_cornell_box(str(tmp_path), width=16, height=16,
+                                   spp=4, rr_depth=2)
+    out1 = str(tmp_path / "straight.exr")
+    rc = cli_main([toml_path, "--out", out1, "--spp-chunk", "4",
+                   "--seed", "3"])
+    assert rc == 0
+
+    # Simulate a crash after the first checkpointed chunk.
+    ck = str(tmp_path / "part.ckpt")
+
+    class Crash(Exception):
+        pass
+
+    from bpt_tpu.io import checkpoint as ck_mod
+
+    orig = ck_mod.save_checkpoint
+    calls = {"n": 0}
+
+    def crashing_save(*a, **kw):
+        orig(*a, **kw)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise Crash()
+
+    monkeypatch.setattr(ck_mod, "save_checkpoint", crashing_save)
+    with pytest.raises(Crash):
+        cli_main([toml_path, "--out", str(tmp_path / "dead.exr"),
+                  "--spp-chunk", "2", "--checkpoint", ck, "--seed", "3"])
+    monkeypatch.setattr(ck_mod, "save_checkpoint", orig)
+
+    out2 = str(tmp_path / "resumed.exr")
+    rc = cli_main([toml_path, "--out", out2, "--spp-chunk", "2",
+                   "--checkpoint", ck, "--seed", "3"])
+    assert rc == 0
+    np.testing.assert_allclose(read_exr(out1), read_exr(out2), atol=1e-6)
