@@ -51,6 +51,7 @@ from ..core.math import (
     normalize,
 )
 from ..scene.scene import SceneData
+from . import mis as mis_fn
 from .common import (
     emission_at,
     make_interaction,
@@ -133,11 +134,8 @@ def _continue_walk(scene, lkeys, it, rr_prob, throughput, vc, vcm, alive,
     prev_rev_pdf = jnp.where(s.delta, pdf_w, rev_pdf)
 
     # vc/vcm recursion; delta case is Eqs. 53-54 (bdpt.h:274-285).
-    ratio = abs_cos_out / safe_pdf
-    vc_delta = ratio * (prev_rev_pdf * vc)
-    vc_smooth = ratio * (vcm + prev_rev_pdf * vc)
-    vc = jnp.where(s.delta, vc_delta, vc_smooth)
-    vcm = jnp.where(s.delta, 0.0, 1.0 / safe_pdf)
+    vc, vcm = mis_fn.bounce_update(vc, vcm, abs_cos_out, safe_pdf,
+                                   prev_rev_pdf, s.delta)
 
     d_world = frame_to_world(it.frame_ns, s.wi)
     alive_out = alive & ~dead
@@ -219,9 +217,8 @@ def _connect_to_camera(scene, cam_consts, cfg: BDPTConfig, it, throughput,
         bsdf.pdf_bsdf(scene.mat, it.mat_id, wi_local, it.wo, kd_ov)
         * rr_prob
     )
-    light_weight = (reverse_pdf_a / n_light) * (vcm + prev_rev_pdf * vc)
-    light_weight = jnp.nan_to_num(light_weight, nan=jnp.inf)
-    mis = jax.lax.stop_gradient(1.0 / (light_weight + 1.0))
+    mis = jax.lax.stop_gradient(
+        mis_fn.weight_t1(reverse_pdf_a, n_light, prev_rev_pdf, vc, vcm))
     if cfg.mode == "bdpt":
         radiance = radiance * mis[..., None]
 
@@ -257,8 +254,8 @@ def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, b,
     throughput = (
         cos_out[..., None] * es.radiance / safe_emission_pdf[..., None]
     )  # bdpt.h:173
-    vc = cos_out / safe_emission_pdf                      # bdpt.h:175
-    vcm = area_pdf / safe_emission_pdf                    # bdpt.h:177
+    vc, vcm = mis_fn.light_walk_init(cos_out, safe_emission_pdf,
+                                     area_pdf)  # bdpt.h:175-177
     alive = primary_alive & (cos_out > 0.0)               # bdpt.h:179-182
 
     if l == 0:
@@ -291,8 +288,10 @@ def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, b,
         # Freeze dead lanes' MIS state: letting it keep updating can
         # overflow to inf across scan steps and poison gradients via
         # 0*inf in downstream weights.
-        vcm = jnp.where(alive, vcm * dist2 / abs_cos_in, vcm)  # bdpt.h:196
-        vc = jnp.where(alive, vc / abs_cos_in, vc)             # bdpt.h:197
+        vc_u, vcm_u = mis_fn.measure_update(vc, vcm, dist2,
+                                            abs_cos_in)  # bdpt.h:196-197
+        vcm = jnp.where(alive, vcm_u, vcm)
+        vc = jnp.where(alive, vc_u, vc)
 
         rr_prob = _rr_probability(cfg, depth, throughput)
         lane = bsdf.gather_lane(scene.mat, it.mat_id)
@@ -371,18 +370,14 @@ def _connect_to_light(scene, cfg: BDPTConfig, lkeys, it, throughput, vcm, vc,
         bsdf.pdf_bsdf(scene.mat, it.mat_id, it.wo, wi_local, kd_ov)
         * rr_prob
     )
-    light_weight = light_rev_pdf_w / jnp.maximum(connect_pdf_w, 1e-30)
-
     eye_prev_rev_pdf_w = (
         bsdf.pdf_bsdf(scene.mat, it.mat_id, wi_local, it.wo, kd_ov)
         * rr_prob
     )
     eye_cur_rev_pdf_a = cos_at_eye / dist2 * dir_pdf_w
-    eye_weight = eye_cur_rev_pdf_a * (vcm + eye_prev_rev_pdf_w * vc)
-    light_weight = jnp.nan_to_num(light_weight, nan=jnp.inf)
-    eye_weight = jnp.nan_to_num(eye_weight, nan=jnp.inf)
-
-    mis = jax.lax.stop_gradient(1.0 / (light_weight + 1.0 + eye_weight))
+    mis = jax.lax.stop_gradient(mis_fn.weight_s1(
+        light_rev_pdf_w, jnp.maximum(connect_pdf_w, 1e-30),
+        eye_cur_rev_pdf_a, eye_prev_rev_pdf_w, vc, vcm))
     if cfg.mode == "bdpt":
         li = li * mis[..., None]
     return jnp.where(ok[..., None], li, 0.0), n_vis
@@ -425,11 +420,9 @@ def _connect_vertices(scene, lv_p, lv_ns, lv_wo, lv_thr, lv_vcm, lv_vc,
 
     light_rev_a = pdf_e2l * cos_l * inv_d2
     eye_rev_a = pdf_l2e * cos_e * inv_d2
-    light_weight = jnp.nan_to_num(
-        light_rev_a * (lv_vcm + pdf_l_prev * lv_vc), nan=jnp.inf)
-    eye_weight = jnp.nan_to_num(
-        eye_rev_a * (vcm + pdf_e_prev * vc), nan=jnp.inf)
-    mis = jax.lax.stop_gradient(1.0 / (light_weight + 1.0 + eye_weight))
+    mis = jax.lax.stop_gradient(mis_fn.weight_connect(
+        light_rev_a, pdf_l_prev, lv_vc, lv_vcm,
+        eye_rev_a, pdf_e_prev, vc, vcm))
 
     li = li * mis[..., None]
     return jnp.where(ok[..., None], li, 0.0), n_vis
@@ -452,8 +445,7 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
     t1_pdf = image_to_solid
 
     throughput = jnp.ones((b, 3), jnp.float32)
-    vc = jnp.zeros((b,), jnp.float32)
-    vcm = cfg.width * cfg.height * (1.0 / t1_pdf)
+    vc, vcm = mis_fn.eye_walk_init(float(cfg.width * cfg.height), t1_pdf)
 
     o0 = jnp.broadcast_to(cam_consts["o"], primary_d.shape)
 
@@ -479,8 +471,9 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
 
         dist2 = hit.t * hit.t
         abs_cos_in = jnp.maximum(jnp.abs(it.wo[..., 2]), 1e-20)
-        vcm = jnp.where(alive, vcm * dist2 / abs_cos_in, vcm)
-        vc = jnp.where(alive, vc / abs_cos_in, vc)
+        vc_u, vcm_u = mis_fn.measure_update(vc, vcm, dist2, abs_cos_in)
+        vcm = jnp.where(alive, vcm_u, vcm)
+        vc = jnp.where(alive, vc_u, vc)
 
         # ---- s=0: the eye path hit an emitter (bdpt.h:79-125) ----
         le = emission_at(scene, it.mat_id)
@@ -491,9 +484,8 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
         # Replicated verbatim: 1/(area*emitterPdf) (bdpt.h:87).
         pos_pdf_a = 1.0 / (em_area * emitter_pdf)
         dir_pdf_w = INV_TWOPI
-        camera_weight = jnp.nan_to_num(
-            pos_pdf_a * vcm + (pos_pdf_a * dir_pdf_w) * vc, nan=jnp.inf)
-        mis_s0 = jax.lax.stop_gradient(1.0 / (1.0 + camera_weight))
+        mis_s0 = jax.lax.stop_gradient(
+            mis_fn.weight_s0(pos_pdf_a, dir_pdf_w, vc, vcm))
 
         contrib = scene.emitters.radiance[em_id] * throughput
         if cfg.mode == "bdpt":
