@@ -76,6 +76,24 @@ def main():
     _ = float(fb.sum())
     dt = time.time() - t0
 
+    # Per-stage attribution (VERDICT r1 item 6): the light-only and
+    # eye-only estimators isolate the two walks; the remainder of the
+    # full-BDPT time is the s>=2 all-pairs connection block (its
+    # (L*B)-wide visibility sweep + shading).
+    stages = {}
+    for mode, name in (("light_trace", "light_walk_s"),
+                       ("path_trace", "eye_walk_s")):
+        cfg_m = BDPTConfig(width=WIDTH, height=HEIGHT, spp=SPP,
+                           rr_depth=RR_DEPTH, mode=mode)
+        fb_m, _n = render_chunk(scene, cam_consts, cfg_m, key, SPP)
+        float(fb_m.sum())
+        t1 = time.time()
+        fb_m, _n = render_chunk(scene, cam_consts, cfg_m, key, SPP)
+        float(fb_m.sum())
+        stages[name] = round(time.time() - t1, 3)
+    stages["all_pairs_connect_s"] = round(
+        max(dt - stages["light_walk_s"] - stages["eye_walk_s"], 0.0), 3)
+
     rays_per_sec = float(nrays) / dt
     result = {
         "metric": "rays/sec/chip (BDPT, caustic scene)",
@@ -91,6 +109,7 @@ def main():
             "rays": int(nrays),
             "device": str(jax.devices()[0]),
             "pixel_samples_per_sec": round(WIDTH * HEIGHT * SPP / dt, 1),
+            "stages": stages,
         },
     }
     print(json.dumps(result))

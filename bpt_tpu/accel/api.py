@@ -40,14 +40,19 @@ def trace_closest(scene, o, d, min_t, max_t) -> traverse.Hit:
 
 
 def trace_any(scene, o, d, min_t, max_t):
-    # Tile-sweep any-hit: shadow rays are t-bounded so tile unions stay
-    # small, and mostly-unoccluded batches would force the per-ray slot
-    # variant to exhaust full overlap lists.  Measured on v5e: the XLA
-    # tile-sweep beats ops/pallas_trace.trace_any_pallas end-to-end
-    # (4.1 s/spp vs 1.23 s/spp on the caustic bench) because coherent
-    # shadow-ray tiles share treelet lists, while the Pallas kernel pays a
-    # dense ray x treelet AABB matrix per tile.
+    # Per-tile sweep kernel (ops/pallas_sweep.py) on TPU: exact in-VMEM
+    # masks + per-tile early exit beat the XLA tile-sweep (which pays
+    # max-over-ALL-tiles union iterations) 3.2x on the all-pairs
+    # occlusion workload (measured v5e, K=128 table, r2 sweeps).  The
+    # round-1 one-hot-matmul any kernel (ops/pallas_trace.trace_any_pallas)
+    # lost to both — its fetch costs O(NT*9K) MXU work per iteration.
     if getattr(scene, "treelets", None) is not None:
         tg = getattr(scene, "treelets_any", None) or scene.treelets
+        if _use_pallas():
+            from ..ops.pallas_sweep import fits_vmem as sweep_fits
+            from ..ops.pallas_sweep import trace_any_sweep
+
+            if sweep_fits(tg):
+                return trace_any_sweep(tg, o, d, min_t, max_t)
         return binned.trace_any_binned(tg, o, d, min_t, max_t)
     return traverse.trace_any(scene.geom, o, d, min_t, max_t)

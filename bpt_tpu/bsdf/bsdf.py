@@ -141,10 +141,14 @@ def _mixture_pdf(lane, wo, wi):
     return p_phong * w + p_diff * (1.0 - w)
 
 
-def eval_bsdf(mat: MaterialTable, mid, wo, wi, kd_override=None):
-    """f * cos(theta_i); zero for delta BSDFs
-    (reference: perfectmirror.h:33-39, glass.h:55-59)."""
-    lane = gather_lane(mat, mid, kd_override)
+def eval_lane(lane: LaneMaterial, wo, wi):
+    """f * cos(theta_i) from pre-gathered lane materials; zero for delta
+    BSDFs (reference: perfectmirror.h:33-39, glass.h:55-59).
+
+    The lane-level entry points exist so hot paths gather the material
+    table once per shading point and reuse it across the several
+    eval/pdf calls a BDPT connection makes (6 per vertex pair) — the
+    per-call gathers were a measured hotspot at all-pairs width."""
     d = _diffuse_eval(lane, wo, wi)
     p = _phong_like_eval(lane, wo, wi)
     k = lane.kind[..., None]
@@ -153,10 +157,9 @@ def eval_bsdf(mat: MaterialTable, mid, wo, wi, kd_override=None):
     return out
 
 
-def pdf_bsdf(mat: MaterialTable, mid, wo, wi, kd_override=None):
-    """Solid-angle pdf; zero for delta BSDFs
-    (reference: perfectmirror.h:41-46, glass.h:61-65)."""
-    lane = gather_lane(mat, mid, kd_override)
+def pdf_lane(lane: LaneMaterial, wo, wi):
+    """Solid-angle pdf from pre-gathered lane materials; zero for delta
+    BSDFs (reference: perfectmirror.h:41-46, glass.h:61-65)."""
     d = warp.square_to_cosine_hemisphere_pdf(wi)
     ph = _phong_pdf(lane, wo, wi)
     mx = _mixture_pdf(lane, wo, wi)
@@ -165,6 +168,16 @@ def pdf_bsdf(mat: MaterialTable, mid, wo, wi, kd_override=None):
     out = jnp.where(k == PHONG, ph, out)
     out = jnp.where(k == MIXTURE, mx, out)
     return out
+
+
+def eval_bsdf(mat: MaterialTable, mid, wo, wi, kd_override=None):
+    """Gathering wrapper around eval_lane."""
+    return eval_lane(gather_lane(mat, mid, kd_override), wo, wi)
+
+
+def pdf_bsdf(mat: MaterialTable, mid, wo, wi, kd_override=None):
+    """Gathering wrapper around pdf_lane."""
+    return pdf_lane(gather_lane(mat, mid, kd_override), wo, wi)
 
 
 # ---------------------------------------------------------------------------
@@ -205,13 +218,17 @@ def _glass_sample(lane, wo, u):
 
 def sample_bsdf(mat: MaterialTable, mid, wo, u2,
                 kd_override=None) -> BsdfSample:
+    """Gathering wrapper around sample_lane."""
+    return sample_lane(gather_lane(mat, mid, kd_override), wo, u2)
+
+
+def sample_lane(lane: LaneMaterial, wo, u2) -> BsdfSample:
     """Sample an outgoing direction for every lane.
 
     One shared 2D uniform `u2` per lane feeds whichever lobe the lane's
     material selects (streams are independent across lanes/depths via the
     RNG key discipline).
     """
-    lane = gather_lane(mat, mid, kd_override)
     k = lane.kind
     sg = jax.lax.stop_gradient
 

@@ -112,15 +112,17 @@ def _rr_probability(cfg: BDPTConfig, depth, throughput):
     return jnp.where(depth + 1 < cfg.rr_depth, 1.0, rr)
 
 
-def _continue_walk(scene, lkeys, it, rr_prob, throughput, vc, vcm, alive,
-                   kd_ov=None):
+def _continue_walk(scene, lkeys, it, lane, rr_prob, throughput, vc, vcm,
+                   alive):
     """ContinuePathRandomWalk (reference: bdpt.h:243-291).
 
-    Returns (new_ray_o, new_ray_d, throughput, vc, vcm, alive, wi_local).
+    `lane` is the pre-gathered LaneMaterial at `it` (textured Kd folded
+    in).  Returns (new_ray_o, new_ray_d, throughput, vc, vcm, alive,
+    wi_local).
     """
     thr_in, vc_in, vcm_in = throughput, vc, vcm
     u2 = rng.uniform2(rng.lane_fold(lkeys, rng.BSDF_SAMPLE))
-    s = bsdf.sample_bsdf(scene.mat, it.mat_id, it.wo, u2, kd_ov)
+    s = bsdf.sample_lane(lane, it.wo, u2)
     pdf_w = s.pdf * rr_prob
     abs_cos_out = jnp.abs(s.wi[..., 2])
     dead = is_zero_rgb(s.value) | (pdf_w <= 0.0)
@@ -129,8 +131,7 @@ def _continue_walk(scene, lkeys, it, rr_prob, throughput, vc, vcm, alive,
 
     # Reverse pdf: probability of generating the *previous* edge given the
     # new one; delta BSDFs reuse the forward pdf (bdpt.h:269-272).
-    rev_pdf = bsdf.pdf_bsdf(scene.mat, it.mat_id, s.wi, it.wo,
-                            kd_ov) * rr_prob
+    rev_pdf = bsdf.pdf_lane(lane, s.wi, it.wo) * rr_prob
     prev_rev_pdf = jnp.where(s.delta, pdf_w, rev_pdf)
 
     # vc/vcm recursion; delta case is Eqs. 53-54 (bdpt.h:274-285).
@@ -163,8 +164,8 @@ def _visible(scene, start, end, needed=None):
     return trace_any(scene, start, d, EPSILON, max_t)
 
 
-def _connect_to_camera(scene, cam_consts, cfg: BDPTConfig, it, throughput,
-                       vcm, vc, rr_prob, active, kd_ov=None):
+def _connect_to_camera(scene, cam_consts, cfg: BDPTConfig, it, lane,
+                       throughput, vcm, vc, rr_prob, active):
     """t=1 technique: splat a light vertex onto the image plane
     (reference: bdpt.h:295-371, VCM Eqs. 46-47).
 
@@ -183,7 +184,7 @@ def _connect_to_camera(scene, cam_consts, cfg: BDPTConfig, it, throughput,
     ok &= cos_cam > 0.0
 
     wi_local = frame_to_local(it.frame_ns, -dirn)
-    f = bsdf.eval_bsdf(scene.mat, it.mat_id, it.wo, wi_local, kd_ov)
+    f = bsdf.eval_lane(lane, it.wo, wi_local)
     ok &= ~is_zero_rgb(f) & (wi_local[..., 2] > 0.0)
 
     occluded = _visible(scene, jnp.broadcast_to(cam_o, it.p.shape), it.p,
@@ -213,10 +214,7 @@ def _connect_to_camera(scene, cam_consts, cfg: BDPTConfig, it, throughput,
     # MIS weight (Eqs. 46-47): reverse pdf of the camera sampling the
     # vertex, in surface-area measure, over the light-path count.
     reverse_pdf_a = image_to_surf
-    prev_rev_pdf = (
-        bsdf.pdf_bsdf(scene.mat, it.mat_id, wi_local, it.wo, kd_ov)
-        * rr_prob
-    )
+    prev_rev_pdf = bsdf.pdf_lane(lane, wi_local, it.wo) * rr_prob
     mis = jax.lax.stop_gradient(
         mis_fn.weight_t1(reverse_pdf_a, n_light, prev_rev_pdf, vc, vcm))
     if cfg.mode == "bdpt":
@@ -279,7 +277,10 @@ def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, b,
             alive = alive & ((depth < cfg.rr_depth) | (u_rr < rr_prev))
 
         nrays = nrays + jnp.sum(alive)
-        hit = trace_closest(scene, o, d, EPSILON, jnp.inf)
+        # Dead lanes trace degenerate rays (max_t < min_t -> empty treelet
+        # masks), so terminated walks stop paying traversal cost.
+        hit = trace_closest(scene, o, d, EPSILON,
+                            jnp.where(alive, jnp.inf, -1.0))
         alive = alive & hit.valid
         it = make_interaction(scene, d, hit)
 
@@ -294,18 +295,18 @@ def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, b,
         vc = jnp.where(alive, vc_u, vc)
 
         rr_prob = _rr_probability(cfg, depth, throughput)
-        lane = bsdf.gather_lane(scene.mat, it.mat_id)
+        lane = bsdf.gather_lane(scene.mat, it.mat_id,
+                                textured_kd(scene, it))
         delta = bsdf.is_delta(lane)
-        kd_ov = textured_kd(scene, it)
 
         pix, rgb, nvis = _connect_to_camera(
-            scene, cam_consts, cfg, it, throughput, vcm, vc, rr_prob,
-            alive & ~delta, kd_ov,
+            scene, cam_consts, cfg, it, lane, throughput, vcm, vc, rr_prob,
+            alive & ~delta,
         )
         nrays = nrays + nvis
 
         o2, d2, thr2, vc2, vcm2, alive2, wi = _continue_walk(
-            scene, kd, it, rr_prob, throughput, vc, vcm, alive, kd_ov
+            scene, kd, it, lane, rr_prob, throughput, vc, vcm, alive
         )
         vertex_valid = alive & ~delta & alive2  # push-after-continue,
         # reference bdpt.h:211-215
@@ -334,8 +335,8 @@ def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, b,
     return slots, pix, rgb, carry[-1]
 
 
-def _connect_to_light(scene, cfg: BDPTConfig, lkeys, it, throughput, vcm, vc,
-                      rr_prob, active, kd_ov=None):
+def _connect_to_light(scene, cfg: BDPTConfig, lkeys, it, lane, throughput,
+                      vcm, vc, rr_prob, active):
     """s=1 next-event estimation (reference: bdpt.h:374-430,
     VCM Eqs. 44-45). Returns (contribution (B,3), n_vis)."""
     es = sample_emitter_position(scene, rng.lane_fold(lkeys, rng.NEE_WALK))
@@ -355,7 +356,7 @@ def _connect_to_light(scene, cfg: BDPTConfig, lkeys, it, throughput, vcm, vc,
     connect_pdf_w = connect_pdf_a * dist2 / cos_safe
     dir_pdf_w = INV_TWOPI  # squareToUniformHemispherePdf
 
-    f = bsdf.eval_bsdf(scene.mat, it.mat_id, it.wo, wi_local, kd_ov)
+    f = bsdf.eval_lane(lane, it.wo, wi_local)
     li = (
         f * throughput * es.radiance
         / jnp.maximum(connect_pdf_w, 1e-30)[..., None]
@@ -366,14 +367,8 @@ def _connect_to_light(scene, cfg: BDPTConfig, lkeys, it, throughput, vcm, vc,
     occluded = _visible(scene, it.p, es.pos, needed=ok)
     ok &= ~occluded
 
-    light_rev_pdf_w = (
-        bsdf.pdf_bsdf(scene.mat, it.mat_id, it.wo, wi_local, kd_ov)
-        * rr_prob
-    )
-    eye_prev_rev_pdf_w = (
-        bsdf.pdf_bsdf(scene.mat, it.mat_id, wi_local, it.wo, kd_ov)
-        * rr_prob
-    )
+    light_rev_pdf_w = bsdf.pdf_lane(lane, it.wo, wi_local) * rr_prob
+    eye_prev_rev_pdf_w = bsdf.pdf_lane(lane, wi_local, it.wo) * rr_prob
     eye_cur_rev_pdf_a = cos_at_eye / dist2 * dir_pdf_w
     mis = jax.lax.stop_gradient(mis_fn.weight_s1(
         light_rev_pdf_w, jnp.maximum(connect_pdf_w, 1e-30),
@@ -383,17 +378,19 @@ def _connect_to_light(scene, cfg: BDPTConfig, lkeys, it, throughput, vcm, vc,
     return jnp.where(ok[..., None], li, 0.0), n_vis
 
 
-def _connect_vertices(scene, lv_p, lv_ns, lv_wo, lv_thr, lv_vcm, lv_vc,
-                      lv_rr, lv_mid, lv_valid, it, throughput, vcm, vc,
-                      rr_prob, active, lv_kd=None, kd_ov=None):
+def _connect_vertices(scene, lv_p, lv_frame, lv_wo, lv_thr, lv_vcm, lv_vc,
+                      lv_rr, lv_lane, lv_valid, it, eye_lane, throughput,
+                      vcm, vc, rr_prob, active):
     """s>=2, t>=2 technique: deterministic connection of one light-vertex
     slot to the current eye vertex (reference: bdpt.h:434-483,
-    VCM Eqs. 40-41). Returns (contribution (B,3), n_vis)."""
+    VCM Eqs. 40-41). Returns (contribution (B,3), n_vis).
+
+    lv_frame / lv_lane are precomputed per light vertex (hoisted out of
+    the eye-depth scan by the caller — they are loop-invariant)."""
     l2e = it.p - lv_p
     inv_d2 = 1.0 / jnp.maximum(length2(l2e), 1e-20)
     dirn = l2e * jnp.sqrt(inv_d2)[..., None]
 
-    lv_frame = make_frame(lv_ns)
     wi_light = frame_to_local(lv_frame, dirn)
     wi_eye = frame_to_local(it.frame_ns, -dirn)
     cos_l = wi_light[..., 2]
@@ -404,19 +401,15 @@ def _connect_vertices(scene, lv_p, lv_ns, lv_wo, lv_thr, lv_vcm, lv_vc,
     occluded = _visible(scene, it.p, lv_p, needed=ok)
     ok &= ~occluded
 
-    f_l = bsdf.eval_bsdf(scene.mat, lv_mid, lv_wo, wi_light, lv_kd)
-    f_e = bsdf.eval_bsdf(scene.mat, it.mat_id, it.wo, wi_eye, kd_ov)
+    f_l = bsdf.eval_lane(lv_lane, lv_wo, wi_light)
+    f_e = bsdf.eval_lane(eye_lane, it.wo, wi_eye)
     li = f_l * f_e * lv_thr * throughput * inv_d2[..., None]
 
     # Reverse pdfs for the MIS weight (bdpt.h:458-479).
-    pdf_l2e = bsdf.pdf_bsdf(scene.mat, lv_mid, lv_wo, wi_light,
-                            lv_kd) * lv_rr
-    pdf_l_prev = bsdf.pdf_bsdf(scene.mat, lv_mid, wi_light, lv_wo,
-                               lv_kd) * lv_rr
-    pdf_e2l = bsdf.pdf_bsdf(scene.mat, it.mat_id, it.wo, wi_eye,
-                            kd_ov) * rr_prob
-    pdf_e_prev = bsdf.pdf_bsdf(scene.mat, it.mat_id, wi_eye, it.wo,
-                               kd_ov) * rr_prob
+    pdf_l2e = bsdf.pdf_lane(lv_lane, lv_wo, wi_light) * lv_rr
+    pdf_l_prev = bsdf.pdf_lane(lv_lane, wi_light, lv_wo) * lv_rr
+    pdf_e2l = bsdf.pdf_lane(eye_lane, it.wo, wi_eye) * rr_prob
+    pdf_e_prev = bsdf.pdf_lane(eye_lane, wi_eye, it.wo) * rr_prob
 
     light_rev_a = pdf_e2l * cos_l * inv_d2
     eye_rev_a = pdf_l2e * cos_e * inv_d2
@@ -451,6 +444,33 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
 
     n_emitters = scene.emitters.radiance.shape[0]
 
+    # ---- loop-invariant light-vertex data for the s>=2 connections ----
+    # Flattened once (pixel-major, pixel p's L slots adjacent) and lane
+    # materials/frames gathered once — NOT per eye depth; the per-depth
+    # regather at (L*B,) width was a measured hotspot.
+    lv = None
+    if cfg.mode == "bdpt" and l > 0:
+        from ..scene.textures import albedo_at
+
+        lb = l * b
+
+        def flat(a):  # (L, B, ...) -> (B*L, ...) pixel-major
+            return jnp.swapaxes(a, 0, 1).reshape((lb,) + a.shape[2:])
+
+        lv_kd = albedo_at(scene, flat(slots.tri), flat(slots.u),
+                          flat(slots.v))
+        lv = dict(
+            p=flat(slots.p),
+            frame=make_frame(flat(slots.ns)),
+            wo=flat(slots.wo),
+            thr=flat(slots.throughput),
+            vcm=flat(slots.vcm),
+            vc=flat(slots.vc),
+            rr=flat(slots.rr),
+            valid=flat(slots.valid),
+            lane=bsdf.gather_lane(scene.mat, flat(slots.mat_id), lv_kd),
+        )
+
     def step(carry, depth):
         (o, d, throughput, vc, vcm, alive, rr_prev, pure_spec, li,
          nrays) = carry
@@ -465,7 +485,9 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
         # (renderer.cpp:177,192); bounce rays are unbounded.
         min_t = jnp.where(depth == 1, cfg.near, EPSILON)
         max_t = jnp.where(depth == 1, cfg.far, jnp.inf)
-        hit = trace_closest(scene, o, d, min_t, max_t)
+        # Dead lanes trace degenerate rays (empty treelet masks).
+        hit = trace_closest(scene, o, d, min_t,
+                            jnp.where(alive, max_t, -1.0))
         alive = alive & hit.valid
         it = make_interaction(scene, d, hit)
 
@@ -501,16 +523,16 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
         alive = alive & ~hit_emitter  # break (bdpt.h:124)
 
         rr_prob = _rr_probability(cfg, depth, throughput)
-        lane = bsdf.gather_lane(scene.mat, it.mat_id)
+        lane = bsdf.gather_lane(scene.mat, it.mat_id,
+                                textured_kd(scene, it))
         delta = bsdf.is_delta(lane)
-        kd_ov = textured_kd(scene, it)
         connectable = alive & ~delta
         pure_spec = pure_spec & ~connectable  # bdpt.h:139
 
         # ---- s=1: NEE (bdpt.h:142) ----
         nee, nv1 = _connect_to_light(
-            scene, cfg, kd, it, throughput, vcm, vc, rr_prob, connectable,
-            kd_ov,
+            scene, cfg, kd, it, lane, throughput, vcm, vc, rr_prob,
+            connectable,
         )
         li = li + nee
         nrays = nrays + nv1
@@ -519,41 +541,29 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
         # All L slots are connected in ONE batched visibility trace of
         # (L*B,) lanes: per-trace fixed costs on TPU dwarf the per-lane
         # work, so batching the all-pairs phase is the difference between
-        # O(L) and O(1) trace launches per eye depth.
-        if cfg.mode == "bdpt" and l > 0:
-            from ..scene.textures import albedo_at
-
-            lb = l * b
-
-            # Pixel-major lane layout (pixel p's L segments adjacent): all
-            # of a pixel's connection rays share their eye-vertex origin,
-            # which keeps the occlusion tile-sweep treelet unions small.
-            def flat(a):  # (L, B, ...) -> (B*L, ...)
-                return jnp.swapaxes(a, 0, 1).reshape((lb,) + a.shape[2:])
-
+        # O(L) and O(1) trace launches per eye depth.  Lane layout is
+        # pixel-major (pixel p's L segments adjacent): all of a pixel's
+        # connection rays share their eye-vertex origin, which keeps the
+        # occlusion sweep's treelet unions small.
+        if lv is not None:
             def tile_eye(a):  # (B, ...) -> (B*L, ...) repeating each lane
                 return jnp.repeat(a, l, axis=0)
 
-            lv_kd = albedo_at(scene, flat(slots.tri), flat(slots.u),
-                              flat(slots.v))
-            kd_ov_t = None if kd_ov is None else tile_eye(kd_ov)
             it_t = jax.tree_util.tree_map(tile_eye, it)
+            lane_t = jax.tree_util.tree_map(tile_eye, lane)
             c, nv = _connect_vertices(
                 scene,
-                flat(slots.p), flat(slots.ns), flat(slots.wo),
-                flat(slots.throughput), flat(slots.vcm),
-                flat(slots.vc), flat(slots.rr), flat(slots.mat_id),
-                flat(slots.valid),
-                it_t, tile_eye(throughput), tile_eye(vcm), tile_eye(vc),
-                tile_eye(rr_prob), tile_eye(connectable),
-                lv_kd, kd_ov_t,
+                lv["p"], lv["frame"], lv["wo"], lv["thr"], lv["vcm"],
+                lv["vc"], lv["rr"], lv["lane"], lv["valid"],
+                it_t, lane_t, tile_eye(throughput), tile_eye(vcm),
+                tile_eye(vc), tile_eye(rr_prob), tile_eye(connectable),
             )
             # c is pixel-major ((B, L) flattened), so fold back as (B, L).
             li = li + jnp.sum(c.reshape(b, l, 3), axis=1)
             nrays = nrays + nv
 
         o2, d2, thr2, vc2, vcm2, alive2, _ = _continue_walk(
-            scene, kd, it, rr_prob, throughput, vc, vcm, alive, kd_ov
+            scene, kd, it, lane, rr_prob, throughput, vc, vcm, alive
         )
         return (o2, d2, thr2, vc2, vcm2, alive2, rr_prob, pure_spec, li,
                 nrays), None
@@ -632,6 +642,21 @@ def render_sample(scene: SceneData, cam_consts, cfg: BDPTConfig, key,
     return fb[: w * h], nrays
 
 
+def _blocked_pixel_order(w: int, h: int, bs: int = 16):
+    """Pixel ids ordered by bs x bs screen blocks (Z-ish order).
+
+    Lane order is arbitrary for correctness (RNG is keyed by pixel id and
+    the framebuffer is scatter-added by pixel id), but the tracers tile
+    consecutive lanes — square blocks keep a tile's rays, its bounce rays,
+    and its shadow-connection segments spatially coherent, which shrinks
+    the per-tile treelet unions the sweep kernels iterate over."""
+    if w % bs or h % bs:
+        return jnp.arange(w * h, dtype=jnp.int32)
+    idx = jnp.arange(w * h, dtype=jnp.int32).reshape(h, w)
+    idx = idx.reshape(h // bs, bs, w // bs, bs)
+    return jnp.transpose(idx, (0, 2, 1, 3)).reshape(-1)
+
+
 @partial(jax.jit, static_argnames=("cfg", "spp_chunk", "samples_per_batch"))
 def render_chunk(scene: SceneData, cam_consts, cfg: BDPTConfig, key,
                  spp_chunk: int = 1, sample_offset=0,
@@ -646,15 +671,17 @@ def render_chunk(scene: SceneData, cam_consts, cfg: BDPTConfig, key,
     renderer.cpp:183-207).
 
     samples_per_batch: samples fused into one wavefront dispatch (lanes =
-    sb * W * H).  Larger batches amortize per-trace fixed costs --
-    measured ~2x rays/s going from 65k to 262k lanes on v5e -- at the
-    cost of proportional path-state memory.  Must divide spp_chunk."""
+    sb * W * H), at the cost of proportional path-state memory.  Must
+    divide spp_chunk.  With the r2 sweep kernels, per-trace fixed costs
+    are small and measured throughput is flat in sb on v5e (the round-1
+    "2x at 262k lanes" claim predates them); sb=1 is the default and the
+    benchmarked configuration."""
     w, h = cfg.width, cfg.height
     sb = samples_per_batch
     if spp_chunk % sb != 0:
         raise ValueError(f"spp_chunk={spp_chunk} not divisible by "
                          f"samples_per_batch={sb}")
-    pixel_idx = jnp.arange(w * h, dtype=jnp.int32)
+    pixel_idx = _blocked_pixel_order(w, h)
     # Pixel-major interleave (p0s0, p0s1, ..., p1s0, ...): the sb samples
     # of one pixel sit in the same trace tile, and their shadow rays are
     # highly coherent, which keeps the tile-sweep treelet unions small.

@@ -1,0 +1,342 @@
+"""Pallas TPU kernels: per-tile treelet-sweep traversal (v2 tracers).
+
+Replaces both fetch mechanisms that bounded round-1 performance
+(SURVEY.md section 2.2 is the design target; VERDICT r1 item 1 the
+motivation):
+
+  * the XLA tile-sweep (accel/binned.py) runs `max-over-ALL-tiles` union
+    iterations because its while_loop is global — measured waste vs the
+    per-tile mean is 3-8x on the BDPT workloads (benchmarks/
+    prof_workload.py);
+  * the round-1 Pallas kernels (ops/pallas_trace.py) fetch triangle
+    blocks with a one-hot matmul against the whole (NT, 9K) table, i.e.
+    O(NT*9K) MXU work per iteration regardless of how little is needed.
+
+Here each grid step owns one tile of S rays and:
+
+  1. computes the EXACT (S, NT) ray x treelet slab mask in VMEM (no HBM
+     traffic — the XLA path materializes conservative per-tile-AABB
+     lists instead precisely because the exact mask would round-trip
+     HBM);
+  2. loops over the tile's own union of overlapped treelets (argmax /
+     argmin extraction from a carried (1, NT) row), fetching each
+     treelet's packed triangle block from the VMEM-resident table with a
+     dynamic slice — O(9K) per fetch, no matmul;
+  3. exits as soon as the tile is done: for any-hit when every live lane
+     is occluded or exhausted; for closest-hit when no lane's remaining
+     nearest entry distance can beat its current best (the classic
+     front-to-back pruning, per lane).
+
+Intersection semantics identical to accel/traverse.py (Moeller-Trumbore,
+|det| >= EPSILON, t > T_MIN_HIT, t in [min_t, max_t]; reference:
+src/core/core.h:379-400, accel.h:43).  Degenerate rays (max_t < min_t)
+have empty masks and cost nothing beyond the slab matrix — callers mask
+dead lanes that way (integrators/bdpt.py `_visible`).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu is unavailable when targeting CPU interpret mode only
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pltpu = None
+
+from ..accel.traverse import Hit
+from ..core.math import EPSILON, T_MIN_HIT
+
+TILE = 256
+ANY_J = 4   # treelet blocks fetched per any-kernel loop iteration
+
+
+def _compiler_params():
+    if pltpu is None:
+        return {}
+    try:
+        cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    except AttributeError:  # older jax
+        cp = pltpu.TPUCompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    return {"compiler_params": cp}
+
+
+def _unpack_rays(rays_ref):
+    """One packed (1, 8, S) block -> 8 (S, 1) columns.
+
+    Packing all per-tile ray operands into a single BlockSpec fetch
+    replaces eight tiny per-tile DMAs with one, which is most of a
+    tile's fixed cost when unions are small."""
+    r = rays_ref[0]  # (8, S)
+    s = r.shape[-1]
+
+    def col(c):
+        return r[c, :].reshape(s, 1)
+
+    o = (col(0), col(1), col(2))
+    d = (col(3), col(4), col(5))
+    return o, d, col(6), col(7)
+
+
+def _slab(bmin_ref, bmax_ref, o, d, mnt, mxt, nt):
+    """Exact (S, NT) slab mask + entry distances, all in VMEM.
+
+    o/d/mnt/mxt: (S, 1) columns.  Returns (mask, entry) where entry is
+    max(tnear, 0) for overlapped entries and +inf elsewhere."""
+    s = o[0].shape[0]
+    tiny = 1e-20
+
+    tnear = jnp.full((s, nt), -jnp.inf, jnp.float32)
+    tfar = jnp.full((s, nt), jnp.inf, jnp.float32)
+    for axis in range(3):
+        dc = d[axis]
+        ic = jnp.where(dc < 0, -1.0, 1.0) / jnp.maximum(jnp.abs(dc), tiny)
+        t1 = (bmin_ref[axis, :][None, :] - o[axis]) * ic
+        t2 = (bmax_ref[axis, :][None, :] - o[axis]) * ic
+        tnear = jnp.maximum(tnear, jnp.minimum(t1, t2))
+        tfar = jnp.minimum(tfar, jnp.maximum(t1, t2))
+    mask = (tfar >= tnear) & (tnear <= mxt) & (tfar >= mnt)
+    entry = jnp.where(mask, jnp.maximum(tnear, 0.0), jnp.inf)
+    return mask, entry
+
+
+def _mt_tile(blk, o, d, k):
+    """Moeller-Trumbore of one treelet block against the tile.
+
+    blk: (9, K) fetched rows (v0xyz, e1xyz, e2xyz); o/d: (S, 1) columns.
+    Returns (ok, t, u, v) each (S, K)."""
+    def row(c):
+        return blk[c, :][None, :]
+
+    v0x, v0y, v0z = row(0), row(1), row(2)
+    e1x, e1y, e1z = row(3), row(4), row(5)
+    e2x, e2y, e2z = row(6), row(7), row(8)
+    ox, oy, oz = o
+    dx, dy, dz = d
+
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    ok = jnp.abs(det) >= EPSILON
+    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    uu = (tx * px + ty * py + tz * pz) * inv_det
+    ok &= (uu >= 0.0) & (uu <= 1.0)
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    vv = (dx * qx + dy * qy + dz * qz) * inv_det
+    ok &= (vv >= 0.0) & (uu + vv <= 1.0)
+    tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    ok &= tt > T_MIN_HIT
+    return ok, tt, uu, vv
+
+
+def _any_kernel(bmin_ref, bmax_ref, blk_ref, rays_ref, occ_ref,
+                *, nt: int, k: int):
+    o, d, mnt, mxt = _unpack_rays(rays_ref)
+    s = o[0].shape[0]
+
+    mask, _ = _slab(bmin_ref, bmax_ref, o, d, mnt, mxt, nt)
+    um = jnp.max(mask.astype(jnp.float32), axis=0, keepdims=True)  # (1, NT)
+    dead = (mxt < mnt).astype(jnp.float32)                         # (S, 1)
+    iota_nt = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
+
+    def cond(state):
+        return jnp.max(state[0]) > 0.0
+
+    def body(state):
+        um, occ = state
+        # J treelets per iteration: divides loop-overhead-bound trips.
+        # When fewer remain, duplicates point at already-cleared entries;
+        # the extra tests are safe — any true in-range hit implies AABB
+        # overlap, so they can only confirm real occlusion.
+        parts = []
+        um_j = um
+        for _ in range(ANY_J):
+            tau = jnp.argmax(um_j[0, :])
+            parts.append(blk_ref[pl.ds(tau * 9, 9), :])
+            um_j = um_j * (iota_nt != tau)
+        blk = jnp.concatenate(parts, axis=1)             # (9, J*K)
+        ok, tt, _, _ = _mt_tile(blk, o, d, ANY_J * k)
+        ok &= (tt >= mnt) & (tt <= mxt)
+        hit = jnp.max(ok.astype(jnp.float32), axis=1, keepdims=True)
+        occ = jnp.maximum(occ, hit)
+        done = jnp.min(jnp.maximum(occ, dead)) > 0.0     # all lanes settled
+        um = jnp.where(done, 0.0, um_j)
+        return um, occ
+
+    _, occ = jax.lax.while_loop(
+        cond, body, (um, jnp.zeros((s, 1), jnp.float32)))
+    occ_ref[:] = occ.reshape(1, 1, s)
+
+
+def _closest_kernel(bmin_ref, bmax_ref, blk_ref, tri_ref, rays_ref,
+                    out_ref, *, nt: int, k: int):
+    o, d, mnt, mxt = _unpack_rays(rays_ref)
+    s = o[0].shape[0]
+
+    _, entry = _slab(bmin_ref, bmax_ref, o, d, mnt, mxt, nt)  # (S, NT)
+    iota_nt = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (s, k), 1)
+
+    def cond(state):
+        entry_rem, t_best = state[0], state[1]
+        # Front-to-back pruning, per lane: a lane still needs work only
+        # while its nearest remaining entry is closer than its best hit.
+        nearest = jnp.min(entry_rem, axis=1, keepdims=True)   # (S, 1)
+        return jnp.max((nearest < t_best).astype(jnp.float32)) > 0.0
+
+    def body(state):
+        entry_rem, t_best, tri_best, u_best, v_best = state
+        # Visit the tile's nearest remaining treelet (tile-global order);
+        # lanes whose entry to it can't beat their best skip via mask.
+        tile_entry = jnp.min(entry_rem, axis=0, keepdims=True)  # (1, NT)
+        tau = jnp.argmin(tile_entry[0, :])
+        blk = blk_ref[pl.ds(tau * 9, 9), :]                     # (9, K)
+        trib = tri_ref[pl.ds(tau, 1), :]                        # (1, K)
+        ok, tt, uu, vv = _mt_tile(blk, o, d, k)
+        # Per-lane entry distance to tau via masked reduce (value-level
+        # dynamic_slice does not lower on Mosaic TC).
+        lane_entry = jnp.min(
+            jnp.where(iota_nt == tau, entry_rem, jnp.inf), axis=1,
+            keepdims=True)                                      # (S, 1)
+        ok &= lane_entry < t_best
+        t_hi = jnp.minimum(t_best, mxt)
+        ok &= (tt >= mnt) & (tt <= t_hi)
+
+        t_m = jnp.where(ok, tt, jnp.inf)
+        kk = jnp.argmin(t_m, axis=1)                            # (S,)
+        pick = iota_k == kk[:, None]
+        t_new = jnp.min(t_m, axis=1, keepdims=True)             # (S, 1)
+        improved = t_new < t_best
+
+        tri_f = jnp.broadcast_to(trib, (s, k))
+        sel_tri = jnp.sum(jnp.where(pick, tri_f, 0.0), axis=1,
+                          keepdims=True)
+        sel_u = jnp.sum(jnp.where(pick, uu, 0.0), axis=1, keepdims=True)
+        sel_v = jnp.sum(jnp.where(pick, vv, 0.0), axis=1, keepdims=True)
+
+        t_best = jnp.where(improved, t_new, t_best)
+        tri_best = jnp.where(improved, sel_tri, tri_best)
+        u_best = jnp.where(improved, sel_u, u_best)
+        v_best = jnp.where(improved, sel_v, v_best)
+        entry_rem = jnp.where(iota_nt == tau, jnp.inf, entry_rem)
+        return entry_rem, t_best, tri_best, u_best, v_best
+
+    init = (
+        entry,
+        jnp.full((s, 1), jnp.inf, jnp.float32),
+        jnp.full((s, 1), -1.0, jnp.float32),
+        jnp.zeros((s, 1), jnp.float32),
+        jnp.zeros((s, 1), jnp.float32),
+    )
+    _, t_best, tri_best, u_best, v_best = jax.lax.while_loop(
+        cond, body, init)
+    out = jnp.concatenate(
+        [t_best, tri_best, u_best, v_best], axis=1)  # (S, 4)
+    out_ref[:] = out.T.reshape(1, 4, s)
+
+
+def _pad_tiles(o, d, min_t, max_t, tile):
+    """Pad rays to a tile multiple and reshape to (n_tiles, S) rows.
+
+    Pad lanes are degenerate (max_t < min_t): empty slab masks."""
+    b_in = o.shape[0]
+    min_t = jnp.broadcast_to(jnp.asarray(min_t, jnp.float32), (b_in,))
+    max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (b_in,))
+    pad = (-b_in) % tile
+    if pad:
+        o = jnp.concatenate([o, jnp.full((pad, 3), 1e9, o.dtype)])
+        d = jnp.concatenate(
+            [d, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], d.dtype),
+                         (pad, 1))])
+        min_t = jnp.concatenate([min_t, jnp.zeros((pad,), jnp.float32)])
+        max_t = jnp.concatenate([max_t, jnp.full((pad,), -1.0, jnp.float32)])
+    b = b_in + pad
+    n_tiles = b // tile
+
+    # (n_tiles, 8, S) packed rays: Mosaic requires the last two block
+    # dims to be (8,128)-divisible or equal to the array dims; (1, 8, S)
+    # blocks satisfy both clauses, and one block = one DMA per tile.
+    packed = jnp.stack(
+        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         min_t, max_t], axis=0).reshape(8, n_tiles, tile)
+    packed = jnp.swapaxes(packed, 0, 1)  # (n_tiles, 8, S)
+    return b_in, n_tiles, packed
+
+
+def _tables(tg):
+    nt, _, k = tg.block.shape
+    return (tg.bmin.T, tg.bmax.T, tg.block.reshape(nt * 9, k),
+            tg.tri_index.astype(jnp.float32), nt, k)
+
+
+def sweep_vmem_bytes(tg) -> int:
+    """VMEM footprint of the resident tables (lane dim padded to 128)."""
+    nt, _, k = tg.block.shape
+    kp = max(k, 128)
+    return (nt * 9 * kp + nt * kp + 2 * 3 * ((nt + 127) // 128) * 128) * 4
+
+
+def fits_vmem(tg, tile: int = TILE, budget: int = 8 * 1024 * 1024) -> bool:
+    nt, _, k = tg.block.shape
+    # tables + the (S, NT) mask/entry intermediates (x3 for slack)
+    return sweep_vmem_bytes(tg) + 3 * tile * nt * 4 <= budget
+
+
+def trace_any_sweep(tg, o, d, min_t, max_t, tile: int = TILE,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Occlusion query; drop-in for accel.binned.trace_any_binned."""
+    b_in, n_tiles, packed = _pad_tiles(o, d, min_t, max_t, tile)
+    bmin_t, bmax_t, blk, _, nt, k = _tables(tg)
+
+    ray_spec = pl.BlockSpec((1, 8, tile), lambda i: (i, 0, 0))
+    occ_spec = pl.BlockSpec((1, 1, tile), lambda i: (i, 0, 0))
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(
+        0 for _ in shape))
+
+    occ = pl.pallas_call(
+        functools.partial(_any_kernel, nt=nt, k=k),
+        grid=(n_tiles,),
+        in_specs=[full((3, nt)), full((3, nt)), full((nt * 9, k)),
+                  ray_spec],
+        out_specs=[occ_spec],
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32)],
+        interpret=interpret,
+        **({} if interpret else _compiler_params()),
+    )(bmin_t, bmax_t, blk, packed)[0]
+    return occ.reshape(-1)[:b_in] > 0.0
+
+
+def trace_closest_sweep(tg, o, d, min_t, max_t, tile: int = TILE,
+                        interpret: bool = False) -> Hit:
+    """Closest hit; drop-in for accel.binned.trace_closest_slots."""
+    b_in, n_tiles, packed = _pad_tiles(o, d, min_t, max_t, tile)
+    bmin_t, bmax_t, blk, tri, nt, k = _tables(tg)
+
+    ray_spec = pl.BlockSpec((1, 8, tile), lambda i: (i, 0, 0))
+    out_spec = pl.BlockSpec((1, 4, tile), lambda i: (i, 0, 0))
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(
+        0 for _ in shape))
+
+    out = pl.pallas_call(
+        functools.partial(_closest_kernel, nt=nt, k=k),
+        grid=(n_tiles,),
+        in_specs=[full((3, nt)), full((3, nt)), full((nt * 9, k)),
+                  full((nt, k)), ray_spec],
+        out_specs=[out_spec],
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, 4, tile), jnp.float32)],
+        interpret=interpret,
+        **({} if interpret else _compiler_params()),
+    )(bmin_t, bmax_t, blk, tri, packed)[0]
+    t = out[:, 0, :].reshape(-1)[:b_in]
+    tri_o = out[:, 1, :].reshape(-1)[:b_in].astype(jnp.int32)
+    u = out[:, 2, :].reshape(-1)[:b_in]
+    v = out[:, 3, :].reshape(-1)[:b_in]
+    return Hit(t=t, tri=tri_o, u=u, v=v, valid=tri_o >= 0)

@@ -62,7 +62,7 @@ class SceneData(NamedTuple):
     mat: MaterialTable
     emitters: EmitterTable
     treelets: TreeletGeom       # dense two-level structure (closest-hit)
-    treelets_any: TreeletGeom   # finer (K=16) table tuned for any-hit
+    treelets_any: TreeletGeom   # table for any-hit (currently == treelets)
     # Bitmap textures (reference: core.h:405-640); empty atlas = none.
     uv0: jnp.ndarray            # (T+pad, 2) per-corner texcoords
     uv1: jnp.ndarray
@@ -209,13 +209,18 @@ def build_scene(obj: ObjData, tex_dir: str = "") -> tuple[SceneData, SceneMeta]:
     def padded(a, p):
         return np.concatenate([a.astype(p.dtype if p.ndim else a.dtype), p])
 
+    # K=128 treelets, both tables.  Measured on v5e (the caustic bench,
+    # benchmarks + /tmp sweeps r2): the one-hot closest kernel's matmul
+    # fetch cost per iteration is ~constant in K (S*9*(NT*K) = S*9*T)
+    # while its iteration count tracks the per-ray overlap count, which
+    # shrinks with K — K=128 beat K=64 by ~1.3x and K=256/512 regressed
+    # (selection work grows with K).  The sweep any-hit kernel at K=128
+    # beat the K=16 XLA tile-sweep 3.2x on the all-pairs workload.
     tl = build_treelets(bvh, v0r.astype(np.float32),
-                        e1.astype(np.float32), e2.astype(np.float32))
+                        e1.astype(np.float32), e2.astype(np.float32),
+                        k=128)
     treelets = make_treelet_geom(tl)
-    tl_any = build_treelets(bvh, v0r.astype(np.float32),
-                            e1.astype(np.float32), e2.astype(np.float32),
-                            k=16)
-    treelets_any = make_treelet_geom(tl_any)
+    treelets_any = treelets
 
     geom = TraceGeom(
         v0=jnp.asarray(np.concatenate([v0r, pad3]).astype(np.float32)),
