@@ -28,6 +28,30 @@ from ..integrators.bdpt import BDPTConfig, render_sample
 from ..scene.scene import SceneData
 
 
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-host SPMD runtime init (SURVEY.md section 2.7, multi-node
+    row — the replacement for the reference's single-process
+    std::thread pool, parallelfor.h:39-48).
+
+    On TPU pods the arguments auto-detect from the environment; on CPU
+    (tests / local multi-process) pass them explicitly.  CPU
+    cross-process collectives use the Gloo backend — set
+    JAX_CPU_COLLECTIVES_IMPLEMENTATION=gloo (done here by default).
+    After this returns, `jax.devices()` is the GLOBAL device list and
+    `make_mesh` builds a global mesh; collectives ride ICI within a
+    slice and DCN across hosts.
+    """
+    import os
+
+    os.environ.setdefault("JAX_CPU_COLLECTIVES_IMPLEMENTATION", "gloo")
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(n_dp: int = None, n_sp: int = 1, devices=None) -> Mesh:
     """('dp', 'sp') mesh over the available devices."""
     if devices is None:
@@ -39,14 +63,27 @@ def make_mesh(n_dp: int = None, n_sp: int = 1, devices=None) -> Mesh:
 
 
 def render_chunk_sharded(scene: SceneData, cam_consts, cfg: BDPTConfig,
-                         mesh: Mesh, key, spp_chunk: int):
+                         mesh: Mesh, key, spp_chunk: int,
+                         fb_mode: str = "psum"):
     """Render `spp_chunk * n_sp` samples per pixel, sharded over the mesh.
 
     Pixel lanes are sharded on 'dp' (requires W*H divisible by the dp axis
     size); each 'sp' slice renders its own disjoint set of sample indices.
-    Returns the replicated framebuffer sum (weighted by 1/cfg.spp per
-    sample, matching renderer.cpp:202) and the total ray count.
+    Returns the framebuffer sum (weighted by 1/cfg.spp per sample,
+    matching renderer.cpp:202) and the total ray count.
+
+    fb_mode:
+      * "psum" — every device ends with the full replicated (W*H, 3)
+        buffer (one all-reduce; fine for small images);
+      * "reduce_scatter" — the merge is a psum_scatter over 'dp', so each
+        device keeps only its n_pix/n_dp pixel shard (the returned global
+        jax.Array is sharded over 'dp').  This is the memory-scalable
+        path for large framebuffers on many chips: per-device memory is
+        O(n_pix/n_dp) instead of O(n_pix), and the collective moves half
+        the bytes of an all-reduce.
     """
+    if fb_mode not in ("psum", "reduce_scatter"):
+        raise ValueError(f"unknown fb_mode {fb_mode!r}")
     w, h = cfg.width, cfg.height
     n_pix = w * h
     n_dp = mesh.shape["dp"]
@@ -55,12 +92,13 @@ def render_chunk_sharded(scene: SceneData, cam_consts, cfg: BDPTConfig,
             f"pixel count {n_pix} must be divisible by dp axis {n_dp}"
         )
     pixel_idx = jnp.arange(n_pix, dtype=jnp.int32)
+    fb_spec = P() if fb_mode == "psum" else P("dp")
 
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(P("dp"),),
-        out_specs=(P(), P()),
+        out_specs=(fb_spec, P()),
         check_rep=False,
     )
     def shard_fn(pix):
@@ -77,8 +115,15 @@ def render_chunk_sharded(scene: SceneData, cam_consts, cfg: BDPTConfig,
 
         (fb, nrays), _ = jax.lax.scan(
             body, (fb, nrays), jnp.arange(spp_chunk))
-        # The all-reduce that replaces the reference's per-pixel mutexes.
-        fb = jax.lax.psum(fb, ("dp", "sp"))
+        # The collective that replaces the reference's per-pixel mutexes
+        # (light-subpath splats land on ANY pixel, so every device's
+        # local buffer is a partial sum over the whole image).
+        if fb_mode == "psum":
+            fb = jax.lax.psum(fb, ("dp", "sp"))
+        else:
+            fb = jax.lax.psum_scatter(fb, "dp", scatter_dimension=0,
+                                      tiled=True)
+            fb = jax.lax.psum(fb, "sp")
         nrays = jax.lax.psum(nrays, ("dp", "sp"))
         return fb, nrays
 
@@ -86,14 +131,25 @@ def render_chunk_sharded(scene: SceneData, cam_consts, cfg: BDPTConfig,
 
 
 def render_image_sharded(scene: SceneData, camera, cfg: BDPTConfig,
-                         mesh: Mesh, seed: int = 0):
-    """Full sharded render: spp split across the 'sp' axis."""
+                         mesh: Mesh, seed: int = 0,
+                         fb_mode: str = "psum"):
+    """Full sharded render: spp split across the 'sp' axis.
+
+    With fb_mode="reduce_scatter" the framebuffer stays sharded over
+    'dp' on device; the reshape below gathers it to the host once."""
     n_sp = mesh.shape["sp"]
     if cfg.spp % n_sp != 0:
         raise ValueError(f"spp {cfg.spp} must be divisible by sp axis {n_sp}")
     cam_consts = camera.device_constants()
     key = jax.random.key(seed)
     fn = partial(render_chunk_sharded, cfg=cfg, mesh=mesh,
-                 spp_chunk=cfg.spp // n_sp)
+                 spp_chunk=cfg.spp // n_sp, fb_mode=fb_mode)
     fb, nrays = jax.jit(fn)(scene, cam_consts, key=key)
+    if not fb.is_fully_addressable:
+        # Multi-host: each process holds only its own 'dp' shards; the
+        # final host-side image needs a cross-process allgather.
+        from jax.experimental import multihost_utils
+
+        fb = multihost_utils.process_allgather(fb, tiled=True)
+    fb = jax.device_get(fb)
     return fb.reshape(cfg.height, cfg.width, 3), int(nrays)
