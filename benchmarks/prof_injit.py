@@ -79,13 +79,6 @@ def main():
     distl = jnp.repeat(dist, lmul, axis=0)
     timed("any_binned_458k", fa, pl_, dl, distl - 1e-5)
 
-    # slot variant of any for comparison
-    tg_any = getattr(scene, "treelets_any", None) or scene.treelets
-    fs = jax.jit(lambda o, d, mt: rep_any(
-        lambda s, o, d, mn, mx: binned.trace_any_slots(tg_any, o, d, mn, mx),
-        scene, o, d, 1e-8, mt))
-    timed("any_slots_65k", fs, p, dn, dist - 1e-5)
-
 
 if __name__ == "__main__":
     main()

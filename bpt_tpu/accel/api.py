@@ -43,9 +43,9 @@ def trace_any(scene, o, d, min_t, max_t):
     # Per-tile sweep kernel (ops/pallas_sweep.py) on TPU: exact in-VMEM
     # masks + per-tile early exit beat the XLA tile-sweep (which pays
     # max-over-ALL-tiles union iterations) 3.2x on the all-pairs
-    # occlusion workload (measured v5e, K=128 table, r2 sweeps).  The
-    # round-1 one-hot-matmul any kernel (ops/pallas_trace.trace_any_pallas)
-    # lost to both — its fetch costs O(NT*9K) MXU work per iteration.
+    # occlusion workload (measured v5e, K=128 table, r2 sweeps).  A
+    # one-hot-matmul any-hit kernel was measured and removed in r2 —
+    # its fetch costs O(NT*9K) MXU work per iteration and lost to both.
     if getattr(scene, "treelets", None) is not None:
         tg = getattr(scene, "treelets_any", None) or scene.treelets
         if _use_pallas():

@@ -133,47 +133,6 @@ def _mt_block_soa(rx, tb):
     return ok, t, u, v
 
 
-def _prep_segment(tg, o, d, min_t, max_t, tile):
-    """Tile work lists for BOUNDED segment queries (shadow rays).
-
-    The exact per-ray (B, NT) slab matrix costs ~GBs of HBM traffic (it
-    dominates the whole occlusion query).  For segments we instead build a
-    per-TILE AABB of the lane segments and test it against the treelet
-    AABBs -- (n_tiles, NT), 128x smaller.  The resulting lists are a
-    conservative superset of the exact tile unions, which only adds loop
-    iterations; the per-lane Moeller-Trumbore bounds keep results exact."""
-    b_in = o.shape[0]
-    tile = min(tile, max(b_in, 1))
-    min_t = jnp.broadcast_to(jnp.asarray(min_t, jnp.float32), (b_in,))
-    max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (b_in,))
-    o, d, min_t, max_t, _ = _pad_rays(o, d, min_t, max_t, tile)
-    b = o.shape[0]
-    n_tiles = b // tile
-
-    valid = (max_t >= min_t)[:, None]
-    p0 = o + d * min_t[:, None]
-    p1 = o + d * max_t[:, None]
-    lo = jnp.where(valid, jnp.minimum(p0, p1), jnp.inf)
-    hi = jnp.where(valid, jnp.maximum(p0, p1), -jnp.inf)
-    tlo = jnp.min(lo.reshape(n_tiles, tile, 3), axis=1)  # (n_tiles, 3)
-    thi = jnp.max(hi.reshape(n_tiles, tile, 3), axis=1)
-
-    tile_any = jnp.all(
-        (tlo[:, None, :] <= tg.bmax[None]) & (thi[:, None, :] >= tg.bmin[None]),
-        axis=-1,
-    )  # (n_tiles, NT)
-    counts = jnp.sum(tile_any, axis=-1)
-    lists = jnp.argsort(~tile_any, axis=-1, stable=True).astype(jnp.int32)
-
-    rx = tuple(
-        a.reshape(n_tiles, 1, tile)
-        for a in (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2])
-    )
-    return (b_in, b, tile, n_tiles, rx, lists, counts,
-            min_t.reshape(n_tiles, 1, tile),
-            max_t.reshape(n_tiles, 1, tile))
-
-
 def _prep(tg, o, d, min_t, max_t, tile):
     b_in = o.shape[0]
     tile = min(tile, max(b_in, 1))
@@ -199,110 +158,6 @@ def _blocks(tg, tau):
     """One gather of the packed block -> 9 (n_tiles, K, 1) components."""
     blk = tg.block[tau]  # (n_tiles, 9, K)
     return tuple(blk[:, c, :, None] for c in range(9))
-
-
-def trace_closest_binned(tg: TreeletGeom, o, d, min_t, max_t,
-                         tile: int = DEFAULT_TILE) -> Hit:
-    (b_in, b, tile, n_tiles, rx, lists, counts, mint, maxt) = _prep(
-        tg, o, d, min_t, max_t, tile)
-    max_count = jnp.max(counts)
-
-    def cond(state):
-        return state[0] < max_count
-
-    def body(state):
-        m, t_best, tri_best, u_best, v_best = state
-        tau = jax.lax.dynamic_index_in_dim(lists, m, axis=1, keepdims=False)
-        active = m < counts
-        ok, t, u, v = _mt_block_soa(rx, _blocks(tg, tau))
-        t_hi = jnp.minimum(t_best, maxt[:, 0, :])  # (n_tiles, S)
-        ok &= (t >= mint) & (t <= t_hi[:, None, :])
-        ok &= active[:, None, None]
-        t_m = jnp.where(ok, t, jnp.inf)
-        k = jnp.argmin(t_m, axis=1)  # (n_tiles, S)
-        t_new = jnp.take_along_axis(t_m, k[:, None, :], axis=1)[:, 0, :]
-        improved = t_new < t_best
-
-        trib = tg.tri_index[tau]  # (n_tiles, K)
-        sel_tri = jnp.take_along_axis(trib, k, axis=1)  # (n_tiles, S)
-
-        def sel(arr):
-            return jnp.take_along_axis(arr, k[:, None, :], axis=1)[:, 0, :]
-
-        t_best = jnp.where(improved, t_new, t_best)
-        tri_best = jnp.where(improved, sel_tri, tri_best)
-        u_best = jnp.where(improved, sel(u), u_best)
-        v_best = jnp.where(improved, sel(v), v_best)
-        return m + 1, t_best, tri_best, u_best, v_best
-
-    init = (
-        jnp.int32(0),
-        jnp.full((n_tiles, tile), jnp.inf, jnp.float32),
-        jnp.full((n_tiles, tile), -1, jnp.int32),
-        jnp.zeros((n_tiles, tile), jnp.float32),
-        jnp.zeros((n_tiles, tile), jnp.float32),
-    )
-    _, t_best, tri_best, u_best, v_best = jax.lax.while_loop(
-        cond, body, init)
-
-    t_best = t_best.reshape(b)[:b_in]
-    tri_best = tri_best.reshape(b)[:b_in]
-    u_best = u_best.reshape(b)[:b_in]
-    v_best = v_best.reshape(b)[:b_in]
-    return Hit(t=t_best, tri=tri_best, u=u_best, v=v_best,
-               valid=tri_best >= 0)
-
-
-def trace_any_peel(tg: TreeletGeom, o, d, min_t, max_t,
-                   tile: int = DEFAULT_TILE) -> jnp.ndarray:
-    """Tile-sweep occlusion via argmax-peeling (no per-tile argsort).
-
-    Same traversal as trace_any_binned, but instead of materializing
-    sorted work lists (an argsort over (n_tiles, NT) costs as much as the
-    whole sweep), each iteration extracts every tile's next remaining
-    treelet with an argmax over the carried (n_tiles, NT) tile mask."""
-    b_in = o.shape[0]
-    tile = min(tile, max(b_in, 1))
-    min_t = jnp.broadcast_to(jnp.asarray(min_t, jnp.float32), (b_in,))
-    max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (b_in,))
-    o, d, min_t, max_t, _ = _pad_rays(o, d, min_t, max_t, tile)
-    b = o.shape[0]
-    n_tiles = b // tile
-
-    mask = _treelet_mask(tg, o, d, min_t, max_t)
-    tile_mask = jnp.any(
-        mask.reshape(n_tiles, tile, -1), axis=1).astype(jnp.float32)
-
-    rx = tuple(
-        a.reshape(n_tiles, 1, tile)
-        for a in (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2])
-    )
-    mint = min_t.reshape(n_tiles, 1, tile)
-    maxt = max_t.reshape(n_tiles, 1, tile)
-    nt = tg.bmin.shape[0]
-    iota = jnp.arange(nt)[None, :]
-
-    def cond(state):
-        tm, occ = state
-        return jnp.max(tm) > 0.0
-
-    def body(state):
-        tm, occ = state
-        has = jnp.max(tm, axis=1) > 0.0          # (n_tiles,)
-        tau = jnp.argmax(tm, axis=1)             # (n_tiles,)
-        ok, t, _, _ = _mt_block_soa(rx, _blocks(tg, tau))
-        ok &= (t >= mint) & (t <= maxt)
-        ok &= has[:, None, None]
-        occ = occ | jnp.any(ok, axis=1)
-        # clear the visited entry; fully-occluded tiles drop their rows
-        tm = tm * (iota != tau[:, None])
-        all_occ = jnp.all(occ, axis=1)
-        tm = tm * (~all_occ[:, None])
-        return tm, occ
-
-    init = (tile_mask, jnp.zeros((n_tiles, tile), bool))
-    _, occ = jax.lax.while_loop(cond, body, init)
-    return occ.reshape(b)[:b_in]
 
 
 def trace_any_binned(tg: TreeletGeom, o, d, min_t, max_t,
@@ -370,11 +225,10 @@ def _block_matrix(tg: TreeletGeom):
     return jnp.concatenate([m, jnp.zeros((1, 10 * k), jnp.float32)], axis=0)
 
 
-def trace_closest_slots(tg: TreeletGeom, o, d, min_t, max_t,
-                        n_slots=None, tile: int = DEFAULT_TILE) -> Hit:
-    """Hybrid closest hit: `n_slots` per-ray slot iterations (covering the
-    typical per-ray overlap count) followed by a tile-sweep over whatever
-    sparse remainder is left (lanes with unusually many overlaps)."""
+def trace_closest_slots(tg: TreeletGeom, o, d, min_t, max_t) -> Hit:
+    """Per-ray slot closest hit (the routed XLA fallback): loop until
+    every lane's overlap list is exhausted (bounded by the max per-ray
+    overlap count, small in practice)."""
     b = o.shape[0]
     nt, _, k = tg.block.shape
     min_t = jnp.broadcast_to(jnp.asarray(min_t, jnp.float32), (b,))
@@ -426,135 +280,10 @@ def trace_closest_slots(tg: TreeletGeom, o, d, min_t, max_t,
         jnp.zeros((b,), jnp.float32),
         jnp.zeros((b,), jnp.float32),
     )
-    if n_slots is None:
-        # Loop until every lane's overlap list is exhausted (bounded by the
-        # max per-ray overlap count, small in practice).
-        (mask_rem, t_best, tri_best, u_best, v_best) = jax.lax.while_loop(
-            lambda st: jnp.any(st[0]),
-            lambda st: slot_body(st, None)[0],
-            init,
-        )
-        return Hit(t=t_best, tri=tri_best, u=u_best, v=v_best,
-                   valid=tri_best >= 0)
-    (mask_rem, t_best, tri_best, u_best, v_best), _ = jax.lax.scan(
-        slot_body, init, None, length=n_slots)
-
-    # ---- tile-sweep over the sparse remainder --------------------------
-    tile = min(tile, max(b, 1))
-    pad = (-b) % tile
-    if pad:
-        mask_rem = jnp.concatenate(
-            [mask_rem, jnp.zeros((pad, nt), bool)], axis=0)
-
-        def padv(x, fill):
-            return jnp.concatenate(
-                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0)
-
-        o = padv(o, 1e9)
-        d = padv(d, 1.0)
-        min_t = padv(min_t, 0.0)
-        max_t = padv(max_t, -1.0)
-        t_best = padv(t_best, jnp.inf)
-        tri_best = padv(tri_best, -1)
-        u_best = padv(u_best, 0.0)
-        v_best = padv(v_best, 0.0)
-    bp = b + pad
-    n_tiles = bp // tile
-    lists, counts = _tile_lists(mask_rem, n_tiles, tile)
-    max_count = jnp.max(counts)
-    rx_t = tuple(
-        a.reshape(n_tiles, 1, tile)
-        for a in (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2])
+    (mask_rem, t_best, tri_best, u_best, v_best) = jax.lax.while_loop(
+        lambda st: jnp.any(st[0]),
+        lambda st: slot_body(st, None)[0],
+        init,
     )
-    mint = min_t.reshape(n_tiles, 1, tile)
-    maxt = max_t.reshape(n_tiles, tile)
-
-    def cond(state):
-        return state[0] < max_count
-
-    def sweep_body(state):
-        m, t_best, tri_best, u_best, v_best = state
-        tau = jax.lax.dynamic_index_in_dim(lists, m, axis=1, keepdims=False)
-        active = m < counts
-        blk = tg.block[tau]  # (n_tiles, 9, K)
-        tb = tuple(blk[:, c, :, None] for c in range(9))
-        ok, t, u, v = _mt_block_soa(rx_t, tb)
-        t_hi = jnp.minimum(t_best, maxt)
-        ok &= (t >= mint) & (t <= t_hi[:, None, :])
-        ok &= active[:, None, None]
-        t_m = jnp.where(ok, t, jnp.inf)
-        kk = jnp.argmin(t_m, axis=1)
-        t_new = jnp.take_along_axis(t_m, kk[:, None, :], axis=1)[:, 0, :]
-        improved = t_new < t_best
-        trib = tg.tri_index[tau]
-        sel_tri = jnp.take_along_axis(trib, kk, axis=1)
-
-        def sel(arr):
-            return jnp.take_along_axis(arr, kk[:, None, :], axis=1)[:, 0, :]
-
-        t_best = jnp.where(improved, t_new, t_best)
-        tri_best = jnp.where(improved, sel_tri, tri_best)
-        u_best = jnp.where(improved, sel(u), u_best)
-        v_best = jnp.where(improved, sel(v), v_best)
-        return m + 1, t_best, tri_best, u_best, v_best
-
-    init2 = (
-        jnp.int32(0),
-        t_best.reshape(n_tiles, tile),
-        tri_best.reshape(n_tiles, tile),
-        u_best.reshape(n_tiles, tile),
-        v_best.reshape(n_tiles, tile),
-    )
-    _, t_best, tri_best, u_best, v_best = jax.lax.while_loop(
-        cond, sweep_body, init2)
-
-    t_best = t_best.reshape(bp)[:b]
-    tri_best = tri_best.reshape(bp)[:b]
-    u_best = u_best.reshape(bp)[:b]
-    v_best = v_best.reshape(bp)[:b]
     return Hit(t=t_best, tri=tri_best, u=u_best, v=v_best,
                valid=tri_best >= 0)
-
-
-def trace_any_slots(tg: TreeletGeom, o, d, min_t, max_t) -> jnp.ndarray:
-    """Per-ray slot occlusion query: lanes stop fetching blocks as soon as
-    they find any hit (their remaining overlap mask is cleared), so the
-    loop runs max-over-lanes of min(overlaps, first-hit-position) --
-    typically 1-2 iterations for shadow rays."""
-    b = o.shape[0]
-    nt, _, k = tg.block.shape
-    min_t = jnp.broadcast_to(jnp.asarray(min_t, jnp.float32), (b,))
-    max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (b,))
-    mask = _treelet_mask(tg, o, d, min_t, max_t)
-    block_mat = _block_matrix(tg)
-
-    rx = tuple(a[:, None] for a in (o[:, 0], o[:, 1], o[:, 2],
-                                    d[:, 0], d[:, 1], d[:, 2]))
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
-
-    def cond(state):
-        return jnp.any(state[0])
-
-    def body(state):
-        mask_rem, occ = state
-        has = jnp.any(mask_rem, axis=1)
-        first = jnp.argmax(mask_rem, axis=1)
-        onehot_b = (iota == first[:, None]) & has[:, None]
-        onehot = onehot_b.astype(jnp.float32)
-        fetched = jax.lax.dot_general(
-            onehot, block_mat[:nt],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGH,
-        )
-        comp = fetched[:, : 9 * k].reshape(b, 9, k)
-        tb = tuple(comp[:, c, :] for c in range(9))
-        ok, t, _, _ = _mt_block_soa(rx, tb)
-        ok &= (t >= min_t[:, None]) & (t <= max_t[:, None])
-        ok &= has[:, None]
-        occ = occ | jnp.any(ok, axis=1)
-        mask_rem = mask_rem & ~onehot_b & ~occ[:, None]
-        return mask_rem, occ
-
-    init = (mask, jnp.zeros((b,), bool))
-    _, occ = jax.lax.while_loop(cond, body, init)
-    return occ

@@ -193,150 +193,6 @@ def _kernel(bmin_ref, bmax_ref,
     v_ref[:] = v_best
 
 
-def _any_kernel(bmin_ref, bmax_ref,
-                blk_hi_ref, blk_mid_ref, blk_lo_ref,
-                ox_ref, oy_ref, oz_ref,
-                dx_ref, dy_ref, dz_ref, mnt_ref, mxt_ref,
-                occ_ref, *, nt: int, k: int):
-    """Any-hit (occlusion) variant: lanes clear their remaining treelet
-    mask as soon as they find any hit, so the while_loop runs
-    max-over-lanes of min(overlaps, first-hit-position) iterations --
-    typically 1-2 for shadow rays.  Semantics match
-    accel/binned.py::trace_any_* (t in [min_t, max_t], t > T_MIN_HIT)."""
-    ox = ox_ref[:][:, None]
-    oy = oy_ref[:][:, None]
-    oz = oz_ref[:][:, None]
-    dx = dx_ref[:][:, None]
-    dy = dy_ref[:][:, None]
-    dz = dz_ref[:][:, None]
-    mnt = mnt_ref[:][:, None]
-    mxt = mxt_ref[:][:, None]
-    s = ox_ref.shape[0]
-
-    tiny = 1e-20
-    def inv(c):
-        return jnp.where(c < 0, -1.0, 1.0) / jnp.maximum(jnp.abs(c), tiny)
-
-    tnear = jnp.full((s, nt), -jnp.inf, jnp.float32)
-    tfar = jnp.full((s, nt), jnp.inf, jnp.float32)
-    for axis, dc in ((0, dx), (1, dy), (2, dz)):
-        oc = (ox, oy, oz)[axis]
-        ic = inv(dc)
-        t1 = (bmin_ref[axis, :][None, :] - oc) * ic
-        t2 = (bmax_ref[axis, :][None, :] - oc) * ic
-        tnear = jnp.maximum(tnear, jnp.minimum(t1, t2))
-        tfar = jnp.minimum(tfar, jnp.maximum(t1, t2))
-    mask = (tfar >= tnear) & (tnear <= mxt) & (tfar >= mnt)
-
-    iota_nt = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
-    blk_parts = (blk_hi_ref[:], blk_mid_ref[:], blk_lo_ref[:])
-
-    def cond(state):
-        return jnp.max(state[0]) > 0.0
-
-    def body(state):
-        mask_rem, occ = state
-        has = jnp.max(mask_rem, axis=1) > 0.0
-        first = jnp.argmax(mask_rem, axis=1)
-        onehot_b = (iota_nt == first[:, None]) & has[:, None]
-        onehot = onehot_b.astype(jnp.float32)
-        fetched = _fetch3(onehot, blk_parts)
-
-        def comp(c):
-            return fetched[:, c * k:(c + 1) * k]
-
-        v0x, v0y, v0z = comp(0), comp(1), comp(2)
-        e1x, e1y, e1z = comp(3), comp(4), comp(5)
-        e2x, e2y, e2z = comp(6), comp(7), comp(8)
-
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        ok = jnp.abs(det) >= EPSILON
-        inv_det = 1.0 / jnp.where(ok, det, 1.0)
-        tx = ox - v0x
-        ty = oy - v0y
-        tz = oz - v0z
-        uu = (tx * px + ty * py + tz * pz) * inv_det
-        ok &= (uu >= 0.0) & (uu <= 1.0)
-        qx = ty * e1z - tz * e1y
-        qy = tz * e1x - tx * e1z
-        qz = tx * e1y - ty * e1x
-        vv = (dx * qx + dy * qy + dz * qz) * inv_det
-        ok &= (vv >= 0.0) & (uu + vv <= 1.0)
-        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-        ok &= (tt > T_MIN_HIT) & (tt >= mnt) & (tt <= mxt)
-        ok &= has[:, None]
-
-        hit = jnp.max(ok.astype(jnp.float32), axis=1)   # (S,) 0/1
-        occ = jnp.maximum(occ, hit)
-        # early exit: occluded lanes drop their whole remaining list
-        mask_rem = (mask_rem - onehot) * (1.0 - occ)[:, None]
-        return mask_rem, occ
-
-    init = (mask.astype(jnp.float32), jnp.zeros((s,), jnp.float32))
-    _, occ = jax.lax.while_loop(cond, body, init)
-    occ_ref[:] = occ
-
-
-def trace_any_pallas(tg, o, d, min_t, max_t, tile: int = TILE,
-                     interpret: bool = False) -> jnp.ndarray:
-    """Pallas occlusion query (drop-in for accel.binned.trace_any_*).
-
-    Returns (B,) bool occluded."""
-    b_in = o.shape[0]
-    nt, _, k = tg.block.shape
-    min_t = jnp.broadcast_to(jnp.asarray(min_t, jnp.float32), (b_in,))
-    max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (b_in,))
-    pad = (-b_in) % tile
-    if pad:
-        o = jnp.concatenate([o, jnp.full((pad, 3), 1e9, o.dtype)])
-        d = jnp.concatenate(
-            [d, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], d.dtype),
-                         (pad, 1))])
-        min_t = jnp.concatenate([min_t, jnp.zeros((pad,), jnp.float32)])
-        max_t = jnp.concatenate([max_t, jnp.full((pad,), -1.0, jnp.float32)])
-    b = b_in + pad
-    n_tiles = b // tile
-
-    bmin_t = tg.bmin.T
-    bmax_t = tg.bmax.T
-    blk_parts = _split3(tg.block.reshape(nt, 9 * k))
-
-    lane_spec = pl.BlockSpec((tile,), lambda i: (i,))
-    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(
-        0 for _ in shape))
-
-    kwargs = {}
-    if pltpu is not None and not interpret:
-        try:
-            kwargs["compiler_params"] = pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024)
-        except AttributeError:  # older jax
-            kwargs["compiler_params"] = pltpu.TPUCompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024)
-    occ = pl.pallas_call(
-        functools.partial(_any_kernel, nt=nt, k=k),
-        grid=(n_tiles,),
-        in_specs=[
-            full((3, nt)), full((3, nt)),
-            full((nt, 9 * k)), full((nt, 9 * k)), full((nt, 9 * k)),
-            lane_spec, lane_spec, lane_spec,
-            lane_spec, lane_spec, lane_spec,
-            lane_spec, lane_spec,
-        ],
-        out_specs=[lane_spec],
-        out_shape=[jax.ShapeDtypeStruct((b,), jnp.float32)],
-        interpret=interpret,
-        **kwargs,
-    )(bmin_t, bmax_t, *blk_parts,
-      o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-      min_t, max_t)[0]
-
-    return occ[:b_in] > 0.0
-
-
 def fits_vmem(tg) -> bool:
     nt, _, k = tg.block.shape
     return nt * (9 + 1) * k * 4 <= VMEM_TABLE_BUDGET

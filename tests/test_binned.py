@@ -1,13 +1,12 @@
-"""The dense binned tracer must agree exactly with the skip-link tracer
-(both implement the reference's intersection semantics)."""
+"""The dense binned tracers (the routed XLA fallbacks: per-ray slot
+closest hit, tile-sweep any hit) must agree exactly with the skip-link
+tracer (both implement the reference's intersection semantics)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from bpt_tpu.accel.binned import (trace_any_binned, trace_any_slots,
-                                  trace_closest_binned,
-                                  trace_closest_slots)
+from bpt_tpu.accel.binned import trace_any_binned, trace_closest_slots
 from bpt_tpu.accel.traverse import trace_any, trace_closest
 from bpt_tpu.core.camera import generate_rays
 from bpt_tpu.scene.procedural import cornell_box_scene
@@ -33,15 +32,11 @@ def _ray_sets(scene, cam, b=2048):
             (o2, jnp.asarray(d2), 0.5, 2.0)]
 
 
-@pytest.mark.parametrize("tracer", ["tiles", "slots"])
-def test_closest_agrees(scene, tracer):
+def test_closest_slots_agrees(scene):
     s, cam = scene
     for (o, d, mn, mx) in _ray_sets(s, cam):
         h_ref = trace_closest(s.geom, o, d, mn, mx)
-        if tracer == "tiles":
-            h_bin = trace_closest_binned(s.treelets, o, d, mn, mx, tile=256)
-        else:
-            h_bin = trace_closest_slots(s.treelets, o, d, mn, mx)
+        h_bin = trace_closest_slots(s.treelets, o, d, mn, mx)
         np.testing.assert_array_equal(np.asarray(h_ref.valid),
                                       np.asarray(h_bin.valid))
         v = np.asarray(h_ref.valid)
@@ -53,15 +48,11 @@ def test_closest_agrees(scene, tracer):
             > 0.98
 
 
-@pytest.mark.parametrize("tracer", ["tiles", "slots"])
-def test_any_agrees(scene, tracer):
+def test_any_binned_agrees(scene):
     s, cam = scene
     for (o, d, mn, mx) in _ray_sets(s, cam):
         a_ref = trace_any(s.geom, o, d, mn, mx)
-        if tracer == "tiles":
-            a_bin = trace_any_binned(s.treelets, o, d, mn, mx, tile=256)
-        else:
-            a_bin = trace_any_slots(s.treelets, o, d, mn, mx)
+        a_bin = trace_any_binned(s.treelets, o, d, mn, mx, tile=256)
         np.testing.assert_array_equal(np.asarray(a_ref),
                                       np.asarray(a_bin))
 
@@ -73,6 +64,9 @@ def test_odd_batch_sizes(scene):
         (o, d, mn, mx) = _ray_sets(s, cam, b=max(b, 1))[1]
         o, d = o[:b], d[:b]
         h_ref = trace_closest(s.geom, o, d, mn, mx)
-        h_bin = trace_closest_binned(s.treelets, o, d, mn, mx, tile=256)
+        h_bin = trace_closest_slots(s.treelets, o, d, mn, mx)
         np.testing.assert_array_equal(np.asarray(h_ref.valid),
                                       np.asarray(h_bin.valid))
+        a_ref = trace_any(s.geom, o, d, 0.5, 2.0)
+        a_bin = trace_any_binned(s.treelets, o, d, 0.5, 2.0, tile=256)
+        np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_bin))
