@@ -113,3 +113,34 @@ def test_textured_render_runs(tmp_path):
     cfg = MiscConfig(16, 16, spp=1, integrator="simple")
     img, _ = render_image_misc(scene, meta, cam, cfg)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_texture_interface_parity(tmp_path):
+    """Texture<T> eval/average/min/max parity (reference core.h:405-640),
+    including the BitmapTexture1f flat-indexing and size/3 min/max quirks."""
+    c3 = textures.ConstantTexture3f([0.2, 0.4, 0.6])
+    np.testing.assert_allclose(c3.eval(), [0.2, 0.4, 0.6])
+    np.testing.assert_allclose(c3.average(), c3.min())
+    c1 = textures.ConstantTexture1f(0.7)
+    assert c1.eval() == c1.average() == c1.min() == c1.max() == 0.7
+
+    rng = np.random.RandomState(2)
+    img = rng.rand(4, 5, 3).astype(np.float32)
+    b3 = textures.BitmapTexture3f(img)
+    np.testing.assert_allclose(b3.average(), img.reshape(-1, 3).mean(0),
+                               rtol=1e-6)
+    np.testing.assert_allclose(b3.min(), img.reshape(-1, 3).min(0))
+    np.testing.assert_allclose(b3.max(), img.reshape(-1, 3).max(0))
+    # eval: +1 wrap, nearest texel
+    np.testing.assert_allclose(b3.eval([0.5 / 5, 0.5 / 4]), img[0, 0])
+    np.testing.assert_allclose(b3.eval([1.0 + 0.5 / 5, 0.5 / 4]),
+                               img[0, 0])  # wrap
+    np.testing.assert_allclose(b3.eval([-0.9, 0.6]), img[2, 0])
+
+    b1 = textures.BitmapTexture1f(img)
+    flat = img.reshape(-1)
+    # quirk: flat index w*y+x into the interleaved array
+    assert b1.eval([2.5 / 5, 1.5 / 4]) == flat[5 * 1 + 2]
+    assert b1.average() == pytest.approx(flat.mean(), rel=1e-6)
+    assert b1.min() == flat[: flat.size // 3].min()
+    assert b1.max() == flat[: flat.size // 3].max()
