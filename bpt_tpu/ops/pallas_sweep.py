@@ -49,8 +49,13 @@ except Exception:  # pragma: no cover
 from ..accel.traverse import Hit
 from ..core.math import EPSILON, T_MIN_HIT
 
-TILE = 256
-ANY_J = 4   # treelet blocks fetched per any-kernel loop iteration
+import os
+
+# Swept on the real caustic bench (v5e, r2): 128 beat 256 by 9% and 512
+# by 22%; 64 compiled pathologically slowly.  J=4 and J=8 tied.
+TILE = int(os.environ.get("BPT_SWEEP_TILE", "128"))
+# treelet blocks fetched per any-kernel loop iteration
+ANY_J = int(os.environ.get("BPT_SWEEP_ANY_J", "4"))
 
 
 def _compiler_params():

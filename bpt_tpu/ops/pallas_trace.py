@@ -35,7 +35,9 @@ except Exception:  # pragma: no cover
 from ..accel.traverse import Hit
 from ..core.math import EPSILON, T_MIN_HIT
 
-TILE = 1024
+import os
+
+TILE = int(os.environ.get("BPT_ONEHOT_TILE", "1024"))
 # VMEM budget for the treelet tables (bytes); beyond this the caller should
 # use the XLA tracer.
 VMEM_TABLE_BUDGET = 8 * 1024 * 1024
