@@ -56,6 +56,8 @@ import os
 TILE = int(os.environ.get("BPT_SWEEP_TILE", "128"))
 # treelet blocks fetched per any-kernel loop iteration
 ANY_J = int(os.environ.get("BPT_SWEEP_ANY_J", "4"))
+# treelet blocks fetched per closest-kernel loop iteration
+CLOSEST_J = int(os.environ.get("BPT_SWEEP_CLOSEST_J", "2"))
 
 
 def _compiler_params():
@@ -188,7 +190,7 @@ def _closest_kernel(bmin_ref, bmax_ref, blk_ref, tri_ref, rays_ref,
 
     _, entry = _slab(bmin_ref, bmax_ref, o, d, mnt, mxt, nt)  # (S, NT)
     iota_nt = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (s, k), 1)
+    iota_jk = jax.lax.broadcasted_iota(jnp.int32, (s, CLOSEST_J * k), 1)
 
     def cond(state):
         entry_rem, t_best = state[0], state[1]
@@ -199,29 +201,40 @@ def _closest_kernel(bmin_ref, bmax_ref, blk_ref, tri_ref, rays_ref,
 
     def body(state):
         entry_rem, t_best, tri_best, u_best, v_best = state
-        # Visit the tile's nearest remaining treelet (tile-global order);
-        # lanes whose entry to it can't beat their best skip via mask.
-        tile_entry = jnp.min(entry_rem, axis=0, keepdims=True)  # (1, NT)
-        tau = jnp.argmin(tile_entry[0, :])
-        blk = blk_ref[pl.ds(tau * 9, 9), :]                     # (9, K)
-        trib = tri_ref[pl.ds(tau, 1), :]                        # (1, K)
-        ok, tt, uu, vv = _mt_tile(blk, o, d, k)
-        # Per-lane entry distance to tau via masked reduce (value-level
-        # dynamic_slice does not lower on Mosaic TC).
-        lane_entry = jnp.min(
-            jnp.where(iota_nt == tau, entry_rem, jnp.inf), axis=1,
-            keepdims=True)                                      # (S, 1)
+        # Visit the tile's J nearest remaining treelets (tile-global
+        # front-to-back order); lanes whose entry to an entry can't beat
+        # their best skip it via the per-half mask.  Duplicate picks when
+        # fewer remain are harmless (their lane_entry is +inf).
+        blks, tris, lane_entries = [], [], []
+        rem_j = entry_rem
+        for _ in range(CLOSEST_J):
+            tile_entry = jnp.min(rem_j, axis=0, keepdims=True)  # (1, NT)
+            tau = jnp.argmin(tile_entry[0, :])
+            blks.append(blk_ref[pl.ds(tau * 9, 9), :])          # (9, K)
+            tris.append(tri_ref[pl.ds(tau, 1), :])              # (1, K)
+            # Per-lane entry distance via masked reduce (value-level
+            # dynamic_slice does not lower on Mosaic TC).
+            sel = iota_nt == tau
+            lane_entries.append(jnp.min(
+                jnp.where(sel, rem_j, jnp.inf), axis=1, keepdims=True))
+            rem_j = jnp.where(sel, jnp.inf, rem_j)
+        blk = jnp.concatenate(blks, axis=1)                     # (9, J*K)
+        trib = jnp.concatenate(tris, axis=1)                    # (1, J*K)
+        ok, tt, uu, vv = _mt_tile(blk, o, d, CLOSEST_J * k)
+        lane_entry = jnp.concatenate(
+            [jnp.broadcast_to(e, (s, k)) for e in lane_entries],
+            axis=1)                                             # (S, J*K)
         ok &= lane_entry < t_best
         t_hi = jnp.minimum(t_best, mxt)
         ok &= (tt >= mnt) & (tt <= t_hi)
 
         t_m = jnp.where(ok, tt, jnp.inf)
         kk = jnp.argmin(t_m, axis=1)                            # (S,)
-        pick = iota_k == kk[:, None]
+        pick = iota_jk == kk[:, None]
         t_new = jnp.min(t_m, axis=1, keepdims=True)             # (S, 1)
         improved = t_new < t_best
 
-        tri_f = jnp.broadcast_to(trib, (s, k))
+        tri_f = jnp.broadcast_to(trib, (s, CLOSEST_J * k))
         sel_tri = jnp.sum(jnp.where(pick, tri_f, 0.0), axis=1,
                           keepdims=True)
         sel_u = jnp.sum(jnp.where(pick, uu, 0.0), axis=1, keepdims=True)
@@ -231,8 +244,7 @@ def _closest_kernel(bmin_ref, bmax_ref, blk_ref, tri_ref, rays_ref,
         tri_best = jnp.where(improved, sel_tri, tri_best)
         u_best = jnp.where(improved, sel_u, u_best)
         v_best = jnp.where(improved, sel_v, v_best)
-        entry_rem = jnp.where(iota_nt == tau, jnp.inf, entry_rem)
-        return entry_rem, t_best, tri_best, u_best, v_best
+        return rem_j, t_best, tri_best, u_best, v_best
 
     init = (
         entry,
