@@ -56,8 +56,10 @@ import os
 TILE = int(os.environ.get("BPT_SWEEP_TILE", "128"))
 # treelet blocks fetched per any-kernel loop iteration
 ANY_J = int(os.environ.get("BPT_SWEEP_ANY_J", "4"))
-# treelet blocks fetched per closest-kernel loop iteration
-CLOSEST_J = int(os.environ.get("BPT_SWEEP_CLOSEST_J", "2"))
+# treelet blocks fetched per closest-kernel loop iteration.  J=1: J>1
+# compiles pathologically slowly on Mosaic (>9min) and this kernel lost
+# the in-render closest A/B to the one-hot kernel anyway (unrouted).
+CLOSEST_J = int(os.environ.get("BPT_SWEEP_CLOSEST_J", "1"))
 
 
 def _compiler_params():
