@@ -28,6 +28,9 @@ def main(argv=None):
     ap.add_argument("--spp-chunk", type=int, default=4)
     ap.add_argument("--checkpoint", default=None,
                     help="checkpoint file; resume if it exists")
+    ap.add_argument("--frames", type=int, default=None,
+                    help="frame budget for realtime=true scenes "
+                         "(default: spp / 1-spp-per-frame)")
     ap.add_argument("--preview", action="store_true",
                     help="write the EXR after every spp chunk (progressive "
                          "preview; the TPU-honest analog of the reference's "
@@ -52,12 +55,6 @@ def main(argv=None):
     from .scene.toml_config import load_toml
 
     cfg_t = load_toml(args.scene)
-    if cfg_t.realtime:
-        print(
-            "realtime (OpenGL) mode is not supported by the TPU renderer; "
-            "use the offline integrators", file=sys.stderr,
-        )
-        return 1
 
     t_load = time.time()
     scene, meta = load_scene(cfg_t.obj_file)
@@ -66,6 +63,19 @@ def main(argv=None):
           f"({time.time() - t_load:.2f}s)")
 
     out_path = args.out or os.path.splitext(args.scene)[0] + ".exr"
+
+    if cfg_t.realtime:
+        # Progressive-refinement analog of the reference's SDL/GL loop
+        # (see bpt_tpu/realtime.py for the pass mapping).
+        from .realtime import run_realtime
+
+        t0 = time.time()
+        img, frames = run_realtime(scene, meta, cfg_t, out_path,
+                                   seed=args.seed, frames=args.frames)
+        print(f"Render took: {time.time() - t0:.2f} seconds "
+              f"({frames} frames).")
+        print(f"Saved EXR image to {out_path}")
+        return 0
 
     t0 = time.time()
     n_rays = 0

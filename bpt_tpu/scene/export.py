@@ -73,7 +73,7 @@ def write_obj(obj: ObjData, path: str) -> None:
 
 def write_scene_toml(path: str, obj_file: str, camera, spp: int = 32,
                      integrator: str = "bdpt", rr_depth: int = 5,
-                     **extra) -> None:
+                     realtime: bool = False, **extra) -> None:
     """Write a reference-schema scene TOML (main.cpp:22-116)."""
     with open(path, "w") as f:
         f.write("[input]\n")
@@ -87,7 +87,7 @@ def write_scene_toml(path: str, obj_file: str, camera, spp: int = 32,
         f.write(f"width = {camera.width}\n")
         f.write(f"height = {camera.height}\n\n")
         f.write("[renderer]\n")
-        f.write("realtime = false\n")
+        f.write(f"realtime = {'true' if realtime else 'false'}\n")
         f.write(f'type = "{integrator}"\n')
         f.write(f"rrDepth = {rr_depth}\n")
         f.write(f"spp = {spp}\n")
@@ -102,7 +102,8 @@ def write_scene_toml(path: str, obj_file: str, camera, spp: int = 32,
 
 def export_cornell_box(out_dir: str, width: int = 64, height: int = 64,
                        spp: int = 16, integrator: str = "bdpt",
-                       rr_depth: int = 3, **box_kwargs):
+                       rr_depth: int = 3, realtime: bool = False,
+                       **box_kwargs):
     """Materialize the procedural Cornell box as TOML+OBJ+MTL; returns the
     TOML path."""
     from ..core.camera import Camera
@@ -117,5 +118,6 @@ def export_cornell_box(out_dir: str, width: int = 64, height: int = 64,
                       height=height)
     toml_path = os.path.join(out_dir, "cbox.toml")
     write_scene_toml(toml_path, "cbox.obj", cam, spp=spp,
-                     integrator=integrator, rr_depth=rr_depth)
+                     integrator=integrator, rr_depth=rr_depth,
+                     realtime=realtime)
     return toml_path

@@ -128,3 +128,19 @@ def test_checkpoint_partial_resume_matches_straight_run(tmp_path,
                    "--checkpoint", ck, "--seed", "3"])
     assert rc == 0
     np.testing.assert_allclose(read_exr(out1), read_exr(out2), atol=1e-6)
+
+
+@pytest.mark.parametrize("pass_type", ["gi", "ssao", "normal"])
+def test_cli_realtime_progressive(tmp_path, pass_type):
+    """realtime=true scenes run the progressive-refinement frame loop
+    (the TPU analog of the reference's SDL/GL renderpass loop,
+    renderpass.cpp:65-137); the EXR is written from frame 1 onward."""
+    toml_path = export_cornell_box(
+        str(tmp_path / pass_type), width=16, height=16, spp=4, rr_depth=2,
+        integrator=pass_type, realtime=True)
+    out = str(tmp_path / f"{pass_type}.exr")
+    rc = cli_main([toml_path, "--out", out, "--frames", "2"])
+    assert rc == 0
+    img = read_exr(out)
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(img).all()
