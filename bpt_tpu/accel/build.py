@@ -26,6 +26,7 @@ import sys
 import numpy as np
 
 LEAF_SIZE = 4  # matches Fast-BVH (reference: externals/bvh.h:121)
+SAH_BINS = 16  # binned-SAH resolution (build method "sah")
 
 
 @dataclasses.dataclass
@@ -45,15 +46,22 @@ class FlatBVH:
 
 
 def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
-              use_native: bool = True) -> FlatBVH:
+              use_native: bool = True, method: str = "midpoint") -> FlatBVH:
     """Build over triangles given by (T, 3) vertex arrays.
+
+    method: "midpoint" reproduces Fast-BVH's split behavior (the
+    reference's builder); "sah" is the binned surface-area-heuristic
+    build -- identical intersection RESULTS (hit semantics are
+    structure-independent) but tighter boxes, which lowers per-ray
+    treelet overlap counts and therefore both Pallas tracers' iteration
+    counts.
 
     Uses the native C++ builder (bpt_tpu/native) when its shared library is
     built -- it produces an identical FlatBVH; otherwise the numpy preorder
     recursive construction below (per-node work vectorized over the node's
     primitive slice, O(T log T) total).
     """
-    if use_native:
+    if use_native and method == "midpoint":
         try:
             from ..native.native import build_bvh_native
 
@@ -77,6 +85,53 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     old_limit = sys.getrecursionlimit()
     sys.setrecursionlimit(max(old_limit, 10000 + 2 * t))
 
+    sah = method == "sah"
+
+    def _sah_split(sl, c, cmin, cmax):
+        """Binned SAH over all 3 axes (SAH_BINS bins); returns a boolean
+        left mask or None when no useful split exists."""
+        ext = cmax - cmin
+        best_cost = np.inf
+        best = None
+        for axis in range(3):
+            if ext[axis] <= 0.0:
+                continue
+            # Bin ids in [0, SAH_BINS)
+            f = (c[:, axis] - cmin[axis]) * (SAH_BINS / ext[axis])
+            b = np.minimum(f.astype(np.int64), SAH_BINS - 1)
+            # Per-bin counts and AABBs
+            counts = np.bincount(b, minlength=SAH_BINS)
+            blo = np.full((SAH_BINS, 3), np.inf)
+            bhi = np.full((SAH_BINS, 3), -np.inf)
+            np.minimum.at(blo, b, lo[sl])
+            np.maximum.at(bhi, b, hi[sl])
+            # Prefix/suffix sweeps
+            plo = np.minimum.accumulate(blo, axis=0)
+            phi = np.maximum.accumulate(bhi, axis=0)
+            slo = np.minimum.accumulate(blo[::-1], axis=0)[::-1]
+            shi = np.maximum.accumulate(bhi[::-1], axis=0)[::-1]
+            nl = np.cumsum(counts)[:-1]
+            nr = counts.sum() - nl
+
+            def area(mn, mx):
+                d = np.maximum(mx - mn, 0.0)
+                return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] \
+                    + d[:, 2] * d[:, 0]
+
+            cost = (area(plo[:-1], phi[:-1]) * nl
+                    + area(slo[1:], shi[1:]) * nr)
+            cost[(nl == 0) | (nr == 0)] = np.inf
+            i = int(np.argmin(cost))
+            if cost[i] < best_cost:
+                best_cost = cost[i]
+                best = (axis, i, ext[axis])
+        if best is None:
+            return None
+        axis, i, e = best
+        f = (c[:, axis] - cmin[axis]) * (SAH_BINS / e)
+        b = np.minimum(f.astype(np.int64), SAH_BINS - 1)
+        return b <= i
+
     def rec(lo_r: int, hi_r: int) -> None:
         node = len(bmin_l)
         sl = order[lo_r:hi_r]
@@ -91,9 +146,16 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
             c = centroid[sl]
             cmin = c.min(axis=0)
             cmax = c.max(axis=0)
-            axis = int(np.argmax(cmax - cmin))
-            split = 0.5 * (cmin[axis] + cmax[axis])
-            left_mask = c[:, axis] < split
+            left_mask = None
+            if sah:
+                left_mask = _sah_split(sl, c, cmin, cmax)
+            if left_mask is None:
+                # Midpoint split on the longest centroid axis (Fast-BVH
+                # behavior, bvh.h:210-228); also the SAH fallback when
+                # centroids are degenerate.
+                axis = int(np.argmax(cmax - cmin))
+                split = 0.5 * (cmin[axis] + cmax[axis])
+                left_mask = c[:, axis] < split
             n_left = int(left_mask.sum())
             if n_left == 0 or n_left == n:
                 # Degenerate centroid split -> leaf (Fast-BVH falls back to

@@ -154,7 +154,14 @@ def build_scene(obj: ObjData, tex_dir: str = "") -> tuple[SceneData, SceneMeta]:
         n0 = n1 = n2 = gn
 
     # --- BVH ---------------------------------------------------------------
-    bvh = build_bvh(v0, v1, v2)
+    import os as _os
+
+    # "midpoint" (default) matches Fast-BVH and uses the native C++
+    # builder; "sah" is available via BPT_BVH=sah — measured neutral on
+    # the cbox scenes (axis-aligned geometry is midpoint-friendly) but
+    # expected to win on irregular scenes.
+    bvh = build_bvh(v0, v1, v2,
+                    method=_os.environ.get("BPT_BVH", "midpoint"))
     perm = bvh.prim_order  # new -> old
     inv_perm = np.empty_like(perm)
     inv_perm[perm] = np.arange(t, dtype=np.int32)

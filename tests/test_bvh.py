@@ -136,3 +136,49 @@ def test_bvh_structure_valid():
     assert (bvh.count <= 4).all()
     # prim_order is a permutation.
     assert sorted(bvh.prim_order) == list(range(500))
+
+
+def test_sah_build_matches_brute_force():
+    """The SAH build produces identical hit results (structure-independent
+    semantics) with a valid flat encoding."""
+    import jax.numpy as jnp
+
+    from bpt_tpu.accel.build import build_bvh
+    from bpt_tpu.accel.traverse import TraceGeom, trace_closest
+
+    rng = np.random.RandomState(23)
+    v0, v1, v2 = _random_soup(rng, n_tris=400)
+    for method in ("midpoint", "sah"):
+        bvh = build_bvh(v0, v1, v2, use_native=False, method=method)
+        n = bvh.n_nodes
+        assert (bvh.miss > np.arange(n)).all() and (bvh.miss <= n).all()
+        leaf = bvh.count > 0
+        covered = np.concatenate(
+            [np.arange(s, s + c) for s, c in zip(bvh.start[leaf],
+                                                 bvh.count[leaf])])
+        assert sorted(covered) == list(range(400))
+    b_mid = build_bvh(v0, v1, v2, use_native=False, method="midpoint")
+    b_sah = build_bvh(v0, v1, v2, use_native=False, method="sah")
+    o = rng.uniform(-3, 3, (256, 3)).astype(np.float32)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    def geom(b):
+        v0r = v0[b.prim_order]
+        e1 = v1[b.prim_order] - v0r
+        e2 = v2[b.prim_order] - v0r
+        return TraceGeom(
+            v0=jnp.asarray(np.concatenate([v0r, np.zeros((4, 3), np.float32)])),
+            e1=jnp.asarray(np.concatenate([e1, np.zeros((4, 3), np.float32)])),
+            e2=jnp.asarray(np.concatenate([e2, np.zeros((4, 3), np.float32)])),
+            node_bmin=jnp.asarray(b.bmin), node_bmax=jnp.asarray(b.bmax),
+            node_miss=jnp.asarray(b.miss), node_start=jnp.asarray(b.start),
+            node_count=jnp.asarray(b.count),
+        )
+
+    h1 = trace_closest(geom(b_mid), jnp.asarray(o), jnp.asarray(d), 1e-8, 1e30)
+    h2 = trace_closest(geom(b_sah), jnp.asarray(o), jnp.asarray(d), 1e-8, 1e30)
+    np.testing.assert_array_equal(np.asarray(h1.valid), np.asarray(h2.valid))
+    v = np.asarray(h1.valid)
+    np.testing.assert_allclose(np.asarray(h1.t)[v], np.asarray(h2.t)[v],
+                               rtol=1e-5)
