@@ -29,11 +29,16 @@ def _use_pallas() -> bool:
 def trace_closest(scene, o, d, min_t, max_t) -> traverse.Hit:
     if getattr(scene, "treelets", None) is not None:
         if _use_pallas():
-            from ..ops.pallas_trace import fits_vmem, trace_closest_pallas
+            from ..ops.pallas_trace import fits_vmem, trace_closest_compact
 
             if fits_vmem(scene.treelets):
-                return trace_closest_pallas(scene.treelets, o, d, min_t,
-                                            max_t)
+                # Compact-table variant: per-tile union gathered into a
+                # small (U, 9K) table once, then the per-ray front-to-back
+                # loop fetches from it — measured 31%/19% faster than the
+                # full-table one-hot kernel on coherent/incoherent rays
+                # (v5e, r2).
+                return trace_closest_compact(scene.treelets, o, d, min_t,
+                                             max_t)
         return binned.trace_closest_slots(scene.treelets, o, d, min_t,
                                           max_t)
     return traverse.trace_closest(scene.geom, o, d, min_t, max_t)

@@ -264,3 +264,265 @@ def trace_closest_pallas(tg, o, d, min_t, max_t, tile: int = TILE,
 
     return Hit(t=t[:b_in], tri=tri[:b_in], u=u[:b_in], v=v[:b_in],
                valid=tri[:b_in] >= 0)
+
+
+# ---------------------------------------------------------------------------
+# Compact-table variant: per-tile union gather + per-ray loop over it
+# ---------------------------------------------------------------------------
+#
+# The kernel above pays a (S, NT) x (NT, 9K) one-hot matmul PER ITERATION
+# (O(NT*9K) MXU work ~13us at NT=366, K=128) times the tile's max
+# per-ray overlap count (~14).  Most of that table is never touched by
+# the tile: its union of overlapped treelets is ~30-60.  Here each tile
+# first COMPACTS its union into a small (U, 9K) table with one cheap
+# (U, NT) matmul (one-hot rows built from a cumsum rank), then runs the
+# same per-ray front-to-back loop against the compact table — the
+# per-iteration matmul shrinks by NT/U (~5.7x).  Unions larger than U
+# are handled by an outer loop over rounds of U treelets (rare; entries
+# already beaten by t_best prune to nothing).
+#
+# Entry distances for the pruning order are moved through a 1-pass bf16
+# dot (the one-hot columns select single values, truncated to bf16);
+# pruning compares with a 1% conservative slack so a truncated entry can
+# never wrongly skip a treelet (the slack only costs occasional extra
+# tests).  Triangle data stays EXACT: the compact parts are selected
+# from the pre-split bf16 hi/mid/lo tables, and one-hot selection of a
+# bf16 value is exact.
+
+COMPACT_U = int(os.environ.get("BPT_ONEHOT_U", "128"))
+ENTRY_SLACK = 0.99  # conservative bf16-entry prune factor
+
+
+def _compact_kernel(bmin_ref, bmax_ref,
+                    blk_hi_ref, blk_mid_ref, blk_lo_ref,
+                    tri_hi_ref, tri_mid_ref, tri_lo_ref,
+                    ox_ref, oy_ref, oz_ref,
+                    dx_ref, dy_ref, dz_ref, mnt_ref, mxt_ref,
+                    t_ref, tri_out_ref, u_ref, v_ref,
+                    *, nt: int, k: int, u: int):
+    s = ox_ref.shape[0]
+    ox = ox_ref[:][:, None]
+    oy = oy_ref[:][:, None]
+    oz = oz_ref[:][:, None]
+    dx = dx_ref[:][:, None]
+    dy = dy_ref[:][:, None]
+    dz = dz_ref[:][:, None]
+    mnt = mnt_ref[:][:, None]
+    mxt = mxt_ref[:][:, None]
+
+    tiny = 1e-20
+
+    def inv(c):
+        return jnp.where(c < 0, -1.0, 1.0) / jnp.maximum(jnp.abs(c), tiny)
+
+    tnear = jnp.full((s, nt), -jnp.inf, jnp.float32)
+    tfar = jnp.full((s, nt), jnp.inf, jnp.float32)
+    for axis, dc in ((0, dx), (1, dy), (2, dz)):
+        oc = (ox, oy, oz)[axis]
+        ic = inv(dc)
+        t1 = (bmin_ref[axis, :][None, :] - oc) * ic
+        t2 = (bmax_ref[axis, :][None, :] - oc) * ic
+        tnear = jnp.maximum(tnear, jnp.minimum(t1, t2))
+        tfar = jnp.minimum(tfar, jnp.maximum(t1, t2))
+    mask = (tfar >= tnear) & (tnear <= mxt) & (tfar >= mnt)
+    # Entries as finite values (0 where no overlap) for the bf16 moves;
+    # BIG keeps pruning sane for untouched compact slots.
+    entry0 = jnp.where(mask, jnp.maximum(tnear, 0.0), 0.0)   # (S, NT)
+    mask_f = mask.astype(jnp.float32)
+
+    um0 = jnp.max(mask_f, axis=0, keepdims=True)             # (1, NT)
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (nt, u), 1)
+    iota_su = jax.lax.broadcasted_iota(jnp.int32, (s, u), 1)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (s, k), 1)
+
+    blk_parts = (blk_hi_ref[:], blk_mid_ref[:], blk_lo_ref[:])
+    tri_parts = (tri_hi_ref[:], tri_mid_ref[:], tri_lo_ref[:])
+
+    def outer_cond(state):
+        return jnp.max(state[0]) > 0.0
+
+    def _prefix_sum_row(x):
+        """Inclusive prefix sum of a (1, N) row via log-step shifts
+        (Mosaic has no cumsum lowering)."""
+        n = x.shape[1]
+        shift = 1
+        while shift < n:
+            shifted = jnp.concatenate(
+                [jnp.zeros((1, shift), x.dtype), x[:, :n - shift]], axis=1)
+            x = x + shifted
+            shift *= 2
+        return x
+
+    def outer_body(state):
+        um_rem, t_best, tri_best, u_best, v_best = state
+        csum = _prefix_sum_row(um_rem)                       # inclusive
+        sel = um_rem * (csum <= float(u))                    # first U set
+        rank = csum - 1.0                                    # (1, NT)
+        mc = ((rank.T.astype(jnp.int32) == iota_u)
+              & (sel.T > 0.0)).astype(jnp.bfloat16)          # (NT, U)
+
+        # Compact tables: exact bf16 parts via one-hot column selection.
+        def compact(parts, width):
+            outs = []
+            for p in parts:
+                o32 = jax.lax.dot_general(
+                    mc, p, dimension_numbers=((((0,), (0,))), ((), ())),
+                    preferred_element_type=jnp.float32)      # (U, width)
+                outs.append(o32.astype(jnp.bfloat16))
+            return outs
+
+        blkc = compact(blk_parts, 9 * k)
+        tric = compact(tri_parts, k)
+
+        # Compact per-lane entries/validity (1-pass bf16, slack-pruned).
+        entry_c = jnp.dot(entry0.astype(jnp.bfloat16), mc,
+                          preferred_element_type=jnp.float32)  # (S, U)
+        valid_c = jnp.dot(mask_f.astype(jnp.bfloat16), mc,
+                          preferred_element_type=jnp.float32) > 0.5
+        entry_c = jnp.where(valid_c, entry_c, jnp.inf)
+
+        def cond(st):
+            e_rem, tb = st[0], st[1]
+            nearest = jnp.min(e_rem, axis=1)
+            return jnp.max(
+                (nearest * ENTRY_SLACK < tb).astype(jnp.float32)) > 0.0
+
+        def body(st):
+            e_rem, tb, trib_b, ub, vb = st
+            first = jnp.argmin(e_rem, axis=1)                # (S,)
+            lane_e = jnp.min(e_rem, axis=1)
+            has = lane_e * ENTRY_SLACK < tb
+            onehot_b = (iota_su == first[:, None]) & has[:, None]
+            onehot = onehot_b.astype(jnp.float32)
+            fetched = _fetch3(onehot, blkc)                  # (S, 9K)
+            trif = _fetch3(onehot, tric)                     # (S, K)
+
+            def comp(c):
+                return fetched[:, c * k:(c + 1) * k]
+
+            v0x, v0y, v0z = comp(0), comp(1), comp(2)
+            e1x, e1y, e1z = comp(3), comp(4), comp(5)
+            e2x, e2y, e2z = comp(6), comp(7), comp(8)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            ok = jnp.abs(det) >= EPSILON
+            inv_det = 1.0 / jnp.where(ok, det, 1.0)
+            tx = ox - v0x
+            ty = oy - v0y
+            tz = oz - v0z
+            uu = (tx * px + ty * py + tz * pz) * inv_det
+            ok &= (uu >= 0.0) & (uu <= 1.0)
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            vv = (dx * qx + dy * qy + dz * qz) * inv_det
+            ok &= (vv >= 0.0) & (uu + vv <= 1.0)
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok &= tt > T_MIN_HIT
+            t_hi = jnp.minimum(tb[:, None], mxt)
+            ok &= (tt >= mnt) & (tt <= t_hi)
+            ok &= has[:, None]
+
+            t_m = jnp.where(ok, tt, jnp.inf)
+            kk = jnp.argmin(t_m, axis=1)
+            pick = iota_k == kk[:, None]
+            t_new = jnp.min(t_m, axis=1)
+            improved = t_new < tb
+
+            def sel_(arr):
+                return jnp.sum(jnp.where(pick, arr, 0.0), axis=1)
+
+            tb = jnp.where(improved, t_new, tb)
+            trib_b = jnp.where(improved, sel_(trif), trib_b)
+            ub = jnp.where(improved, sel_(uu), ub)
+            vb = jnp.where(improved, sel_(vv), vb)
+            e_rem = jnp.where(onehot_b, jnp.inf, e_rem)
+            return e_rem, tb, trib_b, ub, vb
+
+        entry_c, t_best, tri_best, u_best, v_best = jax.lax.while_loop(
+            cond, body, (entry_c, t_best, tri_best, u_best, v_best))
+        um_rem = um_rem * (csum > float(u))   # drop this round's treelets
+        return um_rem, t_best, tri_best, u_best, v_best
+
+    init = (
+        um0,
+        jnp.full((s,), jnp.inf, jnp.float32),
+        jnp.full((s,), -1.0, jnp.float32),
+        jnp.zeros((s,), jnp.float32),
+        jnp.zeros((s,), jnp.float32),
+    )
+    _, t_best, tri_best, u_best, v_best = jax.lax.while_loop(
+        outer_cond, outer_body, init)
+
+    t_ref[:] = t_best
+    tri_out_ref[:] = tri_best.astype(jnp.int32)
+    u_ref[:] = u_best
+    v_ref[:] = v_best
+
+
+def trace_closest_compact(tg, o, d, min_t, max_t, tile: int = TILE,
+                          u: int = None, interpret: bool = False) -> Hit:
+    """Compact-table closest hit (drop-in for trace_closest_pallas)."""
+    if u is None:
+        u = COMPACT_U
+    b_in = o.shape[0]
+    nt, _, k = tg.block.shape
+    min_t = jnp.broadcast_to(jnp.asarray(min_t, jnp.float32), (b_in,))
+    max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (b_in,))
+    pad = (-b_in) % tile
+    if pad:
+        o = jnp.concatenate([o, jnp.full((pad, 3), 1e9, o.dtype)])
+        d = jnp.concatenate(
+            [d, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], d.dtype),
+                         (pad, 1))])
+        min_t = jnp.concatenate([min_t, jnp.zeros((pad,), jnp.float32)])
+        max_t = jnp.concatenate([max_t, jnp.full((pad,), -1.0, jnp.float32)])
+    b = b_in + pad
+    n_tiles = b // tile
+
+    bmin_t = tg.bmin.T
+    bmax_t = tg.bmax.T
+    blk_parts = _split3(tg.block.reshape(nt, 9 * k))
+    tri_parts = _split3(tg.tri_index.astype(jnp.float32))
+
+    lane_spec = pl.BlockSpec((tile,), lambda i: (i,))
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(
+        0 for _ in shape))
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b,), jnp.float32),
+        jax.ShapeDtypeStruct((b,), jnp.int32),
+        jax.ShapeDtypeStruct((b,), jnp.float32),
+        jax.ShapeDtypeStruct((b,), jnp.float32),
+    ]
+    kwargs = {}
+    if pltpu is not None and not interpret:
+        try:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)
+        except AttributeError:  # older jax
+            kwargs["compiler_params"] = pltpu.TPUCompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)
+    t, tri, uu, vv = pl.pallas_call(
+        functools.partial(_compact_kernel, nt=nt, k=k, u=u),
+        grid=(n_tiles,),
+        in_specs=[
+            full((3, nt)), full((3, nt)),
+            full((nt, 9 * k)), full((nt, 9 * k)), full((nt, 9 * k)),
+            full((nt, k)), full((nt, k)), full((nt, k)),
+            lane_spec, lane_spec, lane_spec,
+            lane_spec, lane_spec, lane_spec,
+            lane_spec, lane_spec,
+        ],
+        out_specs=[lane_spec, lane_spec, lane_spec, lane_spec],
+        out_shape=out_shape,
+        interpret=interpret,
+        **kwargs,
+    )(bmin_t, bmax_t, *blk_parts, *tri_parts,
+      o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+      min_t, max_t)
+
+    return Hit(t=t[:b_in], tri=tri[:b_in], u=uu[:b_in], v=vv[:b_in],
+               valid=tri[:b_in] >= 0)
