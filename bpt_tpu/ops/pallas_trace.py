@@ -526,3 +526,186 @@ def trace_closest_compact(tg, o, d, min_t, max_t, tile: int = TILE,
 
     return Hit(t=t[:b_in], tri=tri[:b_in], u=uu[:b_in], v=vv[:b_in],
                valid=tri[:b_in] >= 0)
+
+
+def _compact_any_kernel(bmin_ref, bmax_ref,
+                        blk_hi_ref, blk_mid_ref, blk_lo_ref,
+                        ox_ref, oy_ref, oz_ref,
+                        dx_ref, dy_ref, dz_ref, mnt_ref, mxt_ref,
+                        occ_ref, *, nt: int, k: int, u: int):
+    """Occlusion variant of the compact-table kernel: per-ray loop with
+    first-hit early exit over the tile's compacted union (unordered —
+    any-hit needs no front-to-back).  Lanes drop out of the loop as soon
+    as they find any hit, so iterations = max-over-lanes of
+    min(overlap count, first-hit position)."""
+    s = ox_ref.shape[0]
+    ox = ox_ref[:][:, None]
+    oy = oy_ref[:][:, None]
+    oz = oz_ref[:][:, None]
+    dx = dx_ref[:][:, None]
+    dy = dy_ref[:][:, None]
+    dz = dz_ref[:][:, None]
+    mnt = mnt_ref[:][:, None]
+    mxt = mxt_ref[:][:, None]
+
+    tiny = 1e-20
+
+    def inv(c):
+        return jnp.where(c < 0, -1.0, 1.0) / jnp.maximum(jnp.abs(c), tiny)
+
+    tnear = jnp.full((s, nt), -jnp.inf, jnp.float32)
+    tfar = jnp.full((s, nt), jnp.inf, jnp.float32)
+    for axis, dc in ((0, dx), (1, dy), (2, dz)):
+        oc = (ox, oy, oz)[axis]
+        ic = inv(dc)
+        t1 = (bmin_ref[axis, :][None, :] - oc) * ic
+        t2 = (bmax_ref[axis, :][None, :] - oc) * ic
+        tnear = jnp.maximum(tnear, jnp.minimum(t1, t2))
+        tfar = jnp.minimum(tfar, jnp.maximum(t1, t2))
+    mask_f = ((tfar >= tnear) & (tnear <= mxt)
+              & (tfar >= mnt)).astype(jnp.float32)           # (S, NT)
+
+    um0 = jnp.max(mask_f, axis=0, keepdims=True)             # (1, NT)
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (nt, u), 1)
+    iota_su = jax.lax.broadcasted_iota(jnp.int32, (s, u), 1)
+    blk_parts = (blk_hi_ref[:], blk_mid_ref[:], blk_lo_ref[:])
+
+    def _prefix_sum_row(x):
+        n = x.shape[1]
+        shift = 1
+        while shift < n:
+            shifted = jnp.concatenate(
+                [jnp.zeros((1, shift), x.dtype), x[:, :n - shift]], axis=1)
+            x = x + shifted
+            shift *= 2
+        return x
+
+    def outer_cond(state):
+        um_rem, occ = state
+        return (jnp.max(um_rem) > 0.0) & (jnp.min(occ) < 1.0)
+
+    def outer_body(state):
+        um_rem, occ = state
+        csum = _prefix_sum_row(um_rem)
+        sel = um_rem * (csum <= float(u))
+        rank = csum - 1.0
+        mc = ((rank.T.astype(jnp.int32) == iota_u)
+              & (sel.T > 0.0)).astype(jnp.bfloat16)          # (NT, U)
+
+        blkc = []
+        for p in blk_parts:
+            o32 = jax.lax.dot_general(
+                mc, p, dimension_numbers=((((0,), (0,))), ((), ())),
+                preferred_element_type=jnp.float32)
+            blkc.append(o32.astype(jnp.bfloat16))
+
+        mask_c = jnp.dot((mask_f * sel).astype(jnp.bfloat16), mc,
+                         preferred_element_type=jnp.float32)  # (S, U) 0/1
+        mask_c = mask_c * (1.0 - occ)
+
+        def cond(st):
+            return jnp.max(st[0]) > 0.0
+
+        def body(st):
+            m_rem, occ_i = st
+            has = jnp.max(m_rem, axis=1) > 0.0
+            first = jnp.argmax(m_rem, axis=1)
+            onehot_b = (iota_su == first[:, None]) & has[:, None]
+            onehot = onehot_b.astype(jnp.float32)
+            fetched = _fetch3(onehot, blkc)                  # (S, 9K)
+
+            def comp(c):
+                return fetched[:, c * k:(c + 1) * k]
+
+            v0x, v0y, v0z = comp(0), comp(1), comp(2)
+            e1x, e1y, e1z = comp(3), comp(4), comp(5)
+            e2x, e2y, e2z = comp(6), comp(7), comp(8)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            ok = jnp.abs(det) >= EPSILON
+            inv_det = 1.0 / jnp.where(ok, det, 1.0)
+            tx = ox - v0x
+            ty = oy - v0y
+            tz = oz - v0z
+            uu = (tx * px + ty * py + tz * pz) * inv_det
+            ok &= (uu >= 0.0) & (uu <= 1.0)
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            vv = (dx * qx + dy * qy + dz * qz) * inv_det
+            ok &= (vv >= 0.0) & (uu + vv <= 1.0)
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok &= (tt > T_MIN_HIT) & (tt >= mnt) & (tt <= mxt)
+            ok &= has[:, None]
+
+            hit = jnp.max(ok.astype(jnp.float32), axis=1, keepdims=True)
+            occ_i = jnp.maximum(occ_i, hit)
+            m_rem = (m_rem * (1.0 - onehot)) * (1.0 - occ_i)
+            return m_rem, occ_i
+
+        _, occ = jax.lax.while_loop(cond, body, (mask_c, occ))
+        um_rem = um_rem * (csum > float(u))
+        # Fully-occluded tiles skip remaining rounds via outer_cond.
+        return um_rem, occ
+
+    init = (um0, jnp.zeros((s, 1), jnp.float32))
+    _, occ = jax.lax.while_loop(outer_cond, outer_body, init)
+    occ_ref[:] = occ[:, 0]
+
+
+def trace_any_compact(tg, o, d, min_t, max_t, tile: int = TILE,
+                      u: int = None, interpret: bool = False) -> jnp.ndarray:
+    """Compact-table occlusion query (drop-in for trace_any_sweep)."""
+    if u is None:
+        u = COMPACT_U
+    b_in = o.shape[0]
+    nt, _, k = tg.block.shape
+    min_t = jnp.broadcast_to(jnp.asarray(min_t, jnp.float32), (b_in,))
+    max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (b_in,))
+    pad = (-b_in) % tile
+    if pad:
+        o = jnp.concatenate([o, jnp.full((pad, 3), 1e9, o.dtype)])
+        d = jnp.concatenate(
+            [d, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], d.dtype),
+                         (pad, 1))])
+        min_t = jnp.concatenate([min_t, jnp.zeros((pad,), jnp.float32)])
+        max_t = jnp.concatenate([max_t, jnp.full((pad,), -1.0, jnp.float32)])
+    b = b_in + pad
+    n_tiles = b // tile
+
+    bmin_t = tg.bmin.T
+    bmax_t = tg.bmax.T
+    blk_parts = _split3(tg.block.reshape(nt, 9 * k))
+
+    lane_spec = pl.BlockSpec((tile,), lambda i: (i,))
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(
+        0 for _ in shape))
+
+    kwargs = {}
+    if pltpu is not None and not interpret:
+        try:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)
+        except AttributeError:  # older jax
+            kwargs["compiler_params"] = pltpu.TPUCompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)
+    occ = pl.pallas_call(
+        functools.partial(_compact_any_kernel, nt=nt, k=k, u=u),
+        grid=(n_tiles,),
+        in_specs=[
+            full((3, nt)), full((3, nt)),
+            full((nt, 9 * k)), full((nt, 9 * k)), full((nt, 9 * k)),
+            lane_spec, lane_spec, lane_spec,
+            lane_spec, lane_spec, lane_spec,
+            lane_spec, lane_spec,
+        ],
+        out_specs=[lane_spec],
+        out_shape=[jax.ShapeDtypeStruct((b,), jnp.float32)],
+        interpret=interpret,
+        **kwargs,
+    )(bmin_t, bmax_t, *blk_parts,
+      o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+      min_t, max_t)[0]
+    return occ[:b_in] > 0.0
