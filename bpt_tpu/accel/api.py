@@ -16,6 +16,13 @@ from . import binned, traverse
 # than the XLA slot tracer on v5e).  BPT_PALLAS_TRACE=0 forces the XLA
 # path; =1 forces Pallas (e.g. interpret-mode debugging).
 _PALLAS_ENV = os.environ.get("BPT_PALLAS_TRACE", "")
+# Live-lane compaction before the Pallas tracers (ops/compaction.py).
+# Default on for batches of at least _COMPACT_MIN lanes; BPT_COMPACT=0/1
+# forces.  The BDPT connection batches it targets are 13-50% live
+# (benchmarks/prof_workload.py), and compaction makes their dead tiles
+# hit the kernels' all-dead early exit.
+_COMPACT_ENV = os.environ.get("BPT_COMPACT", "")
+_COMPACT_MIN = 4096
 
 
 def _use_pallas() -> bool:
@@ -24,6 +31,12 @@ def _use_pallas() -> bool:
     import jax
 
     return jax.default_backend() == "tpu"
+
+
+def _use_compact(n_lanes: int) -> bool:
+    if _COMPACT_ENV in ("0", "1"):
+        return _COMPACT_ENV == "1"
+    return n_lanes >= _COMPACT_MIN
 
 
 def trace_closest(scene, o, d, min_t, max_t) -> traverse.Hit:
@@ -37,6 +50,23 @@ def trace_closest(scene, o, d, min_t, max_t) -> traverse.Hit:
                 # loop fetches from it — measured 31%/19% faster than the
                 # full-table one-hot kernel on coherent/incoherent rays
                 # (v5e, r2).
+                if _use_compact(o.shape[0]):
+                    from ..ops.compaction import compact_rays, uncompact
+
+                    o_c, d_c, mn_c, mx_c, plan = compact_rays(
+                        o, d, min_t, max_t)
+                    h = trace_closest_compact(scene.treelets, o_c, d_c,
+                                              mn_c, mx_c)
+                    import jax.numpy as jnp
+
+                    tri = uncompact(h.tri, plan, -1)
+                    return traverse.Hit(
+                        t=uncompact(h.t, plan, jnp.inf),
+                        tri=tri,
+                        u=uncompact(h.u, plan, 0.0),
+                        v=uncompact(h.v, plan, 0.0),
+                        valid=tri >= 0,
+                    )
                 return trace_closest_compact(scene.treelets, o, d, min_t,
                                              max_t)
         return binned.trace_closest_slots(scene.treelets, o, d, min_t,
@@ -58,6 +88,13 @@ def trace_any(scene, o, d, min_t, max_t):
             from ..ops.pallas_sweep import trace_any_sweep
 
             if sweep_fits(tg):
+                if _use_compact(o.shape[0]):
+                    from ..ops.compaction import compact_rays, uncompact
+
+                    o_c, d_c, mn_c, mx_c, plan = compact_rays(
+                        o, d, min_t, max_t)
+                    occ = trace_any_sweep(tg, o_c, d_c, mn_c, mx_c)
+                    return uncompact(occ, plan, False)
                 return trace_any_sweep(tg, o, d, min_t, max_t)
         return binned.trace_any_binned(tg, o, d, min_t, max_t)
     return traverse.trace_any(scene.geom, o, d, min_t, max_t)

@@ -35,6 +35,23 @@ def main(argv=None):
                     help="write the EXR after every spp chunk (progressive "
                          "preview; the TPU-honest analog of the reference's "
                          "realtime first-frame save, renderpass.cpp:65-80)")
+    ap.add_argument("--mode", default=None,
+                    choices=["bdpt", "light_trace", "path_trace"],
+                    help="bdpt ablation (reference LIGHT_TRACING/"
+                         "PATH_TRACING switches, bdpt.h:16-17); overrides "
+                         "the TOML bdptMode key")
+    rr_group = ap.add_mutually_exclusive_group()
+    rr_group.add_argument("--rr", dest="no_rr", action="store_false",
+                          default=None,
+                          help="enable Russian roulette (reference NO_RR=0,"
+                               " bdpt.h:18); overrides the TOML noRR key")
+    rr_group.add_argument("--no-rr", dest="no_rr", action="store_true",
+                          help="rrDepth acts as a hard depth bound "
+                               "(reference default NO_RR=1)")
+    ap.add_argument("--samples-per-batch", type=int, default=None,
+                    help="samples fused per wavefront dispatch (must "
+                         "divide the spp chunk); overrides the TOML "
+                         "samplesPerBatch key")
     args = ap.parse_args(argv)
 
     import jax
@@ -70,19 +87,31 @@ def main(argv=None):
         from .realtime import run_realtime
 
         t0 = time.time()
-        img, frames = run_realtime(scene, meta, cfg_t, out_path,
-                                   seed=args.seed, frames=args.frames)
-        print(f"Render took: {time.time() - t0:.2f} seconds "
-              f"({frames} frames).")
+        try:
+            img, frames, n_rays = run_realtime(
+                scene, meta, cfg_t, out_path, seed=args.seed,
+                frames=args.frames)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 1
+        wall = time.time() - t0
+        print(f"Render took: {wall:.2f} seconds ({frames} frames).")
         print(f"Saved EXR image to {out_path}")
+        _write_meta(out_path, args, cfg_t, wall, n_rays,
+                    extra={"realtime": True, "frames": frames})
         return 0
 
     t0 = time.time()
     n_rays = 0
     if cfg_t.integrator == "bdpt":
+        mode = args.mode if args.mode is not None else cfg_t.bdpt_mode
+        no_rr = args.no_rr if args.no_rr is not None else cfg_t.no_rr
+        spb = (args.samples_per_batch if args.samples_per_batch is not None
+               else cfg_t.samples_per_batch)
         cfg = BDPTConfig(
             width=cfg_t.width, height=cfg_t.height, spp=cfg_t.spp,
             rr_depth=cfg_t.rr_depth, rr_prob=cfg_t.rr_prob,
+            mode=mode, no_rr=no_rr,
         )
         cam_consts = cfg_t.camera.device_constants()
         key = jax.random.key(args.seed)
@@ -92,6 +121,7 @@ def main(argv=None):
             scene=os.path.abspath(cfg_t.obj_file), integrator="bdpt",
             width=cfg.width, height=cfg.height, spp=cfg.spp,
             rr_depth=cfg.rr_depth, rr_prob=cfg.rr_prob, seed=args.seed,
+            mode=mode, no_rr=no_rr,
         )
         if args.checkpoint:
             ck = load_checkpoint(args.checkpoint)
@@ -102,7 +132,8 @@ def main(argv=None):
         while done < cfg.spp:
             n = min(args.spp_chunk, cfg.spp - done)
             fb_c, nr = render_chunk(
-                scene, cam_consts, cfg, key, n, sample_offset=done
+                scene, cam_consts, cfg, key, n, sample_offset=done,
+                samples_per_batch=spb if n % spb == 0 else 1,
             )
             fb = fb + np.asarray(fb_c)
             n_rays += int(nr)
@@ -125,9 +156,10 @@ def main(argv=None):
             emitter_samples=cfg_t.emitter_samples,
             bsdf_samples=cfg_t.bsdf_samples,
         )
-        img, _ = render_image_path(scene, cfg_t.camera, cfg, seed=args.seed,
-                                   spp_chunk=args.spp_chunk)
-        img = np.asarray(img)
+        img, n_rays = render_image_path(scene, cfg_t.camera, cfg,
+                                        seed=args.seed,
+                                        spp_chunk=args.spp_chunk)
+        img, n_rays = np.asarray(img), int(n_rays)
     elif cfg_t.integrator == "direct":
         cfg = DirectConfig(
             width=cfg_t.width, height=cfg_t.height, spp=cfg_t.spp,
@@ -135,17 +167,17 @@ def main(argv=None):
             emitter_samples=cfg_t.emitter_samples,
             bsdf_samples=cfg_t.bsdf_samples,
         )
-        img, _ = render_image_direct(scene, meta, cfg_t.camera, cfg,
-                                     seed=args.seed)
-        img = np.asarray(img)
+        img, n_rays = render_image_direct(scene, meta, cfg_t.camera, cfg,
+                                          seed=args.seed)
+        img, n_rays = np.asarray(img), int(n_rays)
     elif cfg_t.integrator in ("normal", "simple", "ao", "ro"):
         cfg = MiscConfig(
             width=cfg_t.width, height=cfg_t.height, spp=cfg_t.spp,
             integrator=cfg_t.integrator, exponent=cfg_t.exponent,
         )
-        img, _ = render_image_misc(scene, meta, cfg_t.camera, cfg,
-                                   seed=args.seed)
-        img = np.asarray(img)
+        img, n_rays = render_image_misc(scene, meta, cfg_t.camera, cfg,
+                                        seed=args.seed)
+        img, n_rays = np.asarray(img), int(n_rays)
     else:
         print(f"Invalid integrator type: {cfg_t.integrator}",
               file=sys.stderr)
@@ -156,9 +188,20 @@ def main(argv=None):
     write_exr(out_path, img)
     print(f"Saved EXR image to {out_path}")
 
-    # Structured metadata alongside the EXR (SURVEY.md section 5:
-    # "structured logging + saved metadata alongside EXR").
+    extra = {}
+    if cfg_t.integrator == "bdpt":
+        extra = {"mode": cfg.mode, "no_rr": cfg.no_rr,
+                 "rr_depth": cfg.rr_depth}
+    _write_meta(out_path, args, cfg_t, wall, n_rays, extra=extra)
+    return 0
+
+
+def _write_meta(out_path, args, cfg_t, wall, n_rays, extra=None):
+    """Structured metadata alongside the EXR (SURVEY.md section 5:
+    "structured logging + saved metadata alongside EXR")."""
     import json
+
+    import jax
 
     meta_out = {
         "scene": os.path.abspath(args.scene),
@@ -171,9 +214,9 @@ def main(argv=None):
         "device": str(jax.devices()[0]),
         "n_devices": jax.device_count(),
     }
+    meta_out.update(extra or {})
     with open(out_path + ".meta.json", "w") as f:
         json.dump(meta_out, f, indent=1)
-    return 0
 
 
 if __name__ == "__main__":

@@ -151,38 +151,47 @@ def _any_kernel(bmin_ref, bmax_ref, blk_ref, rays_ref, occ_ref,
     o, d, mnt, mxt = _unpack_rays(rays_ref)
     s = o[0].shape[0]
 
-    mask, _ = _slab(bmin_ref, bmax_ref, o, d, mnt, mxt, nt)
-    um = jnp.max(mask.astype(jnp.float32), axis=0, keepdims=True)  # (1, NT)
-    dead = (mxt < mnt).astype(jnp.float32)                         # (S, 1)
-    iota_nt = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
+    # All-dead tiles (every lane degenerate) skip even the slab matrix;
+    # live-lane compaction (ops/compaction.py) packs batches so most
+    # dead lanes land in such tiles.
+    occ_ref[:] = jnp.zeros((1, 1, s), jnp.float32)
+    any_live = jnp.max((mxt >= mnt).astype(jnp.float32)) > 0.0
 
-    def cond(state):
-        return jnp.max(state[0]) > 0.0
+    @pl.when(any_live)
+    def _live_tile():
+        mask, _ = _slab(bmin_ref, bmax_ref, o, d, mnt, mxt, nt)
+        um = jnp.max(mask.astype(jnp.float32), axis=0,
+                     keepdims=True)                                # (1, NT)
+        dead = (mxt < mnt).astype(jnp.float32)                     # (S, 1)
+        iota_nt = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
 
-    def body(state):
-        um, occ = state
-        # J treelets per iteration: divides loop-overhead-bound trips.
-        # When fewer remain, duplicates point at already-cleared entries;
-        # the extra tests are safe — any true in-range hit implies AABB
-        # overlap, so they can only confirm real occlusion.
-        parts = []
-        um_j = um
-        for _ in range(ANY_J):
-            tau = jnp.argmax(um_j[0, :])
-            parts.append(blk_ref[pl.ds(tau * 9, 9), :])
-            um_j = um_j * (iota_nt != tau)
-        blk = jnp.concatenate(parts, axis=1)             # (9, J*K)
-        ok, tt, _, _ = _mt_tile(blk, o, d, ANY_J * k)
-        ok &= (tt >= mnt) & (tt <= mxt)
-        hit = jnp.max(ok.astype(jnp.float32), axis=1, keepdims=True)
-        occ = jnp.maximum(occ, hit)
-        done = jnp.min(jnp.maximum(occ, dead)) > 0.0     # all lanes settled
-        um = jnp.where(done, 0.0, um_j)
-        return um, occ
+        def cond(state):
+            return jnp.max(state[0]) > 0.0
 
-    _, occ = jax.lax.while_loop(
-        cond, body, (um, jnp.zeros((s, 1), jnp.float32)))
-    occ_ref[:] = occ.reshape(1, 1, s)
+        def body(state):
+            um, occ = state
+            # J treelets per iteration: divides loop-overhead-bound trips.
+            # When fewer remain, duplicates point at already-cleared
+            # entries; the extra tests are safe — any true in-range hit
+            # implies AABB overlap, so they can only confirm occlusion.
+            parts = []
+            um_j = um
+            for _ in range(ANY_J):
+                tau = jnp.argmax(um_j[0, :])
+                parts.append(blk_ref[pl.ds(tau * 9, 9), :])
+                um_j = um_j * (iota_nt != tau)
+            blk = jnp.concatenate(parts, axis=1)             # (9, J*K)
+            ok, tt, _, _ = _mt_tile(blk, o, d, ANY_J * k)
+            ok &= (tt >= mnt) & (tt <= mxt)
+            hit = jnp.max(ok.astype(jnp.float32), axis=1, keepdims=True)
+            occ = jnp.maximum(occ, hit)
+            done = jnp.min(jnp.maximum(occ, dead)) > 0.0  # lanes settled
+            um = jnp.where(done, 0.0, um_j)
+            return um, occ
+
+        _, occ = jax.lax.while_loop(
+            cond, body, (um, jnp.zeros((s, 1), jnp.float32)))
+        occ_ref[:] = occ.reshape(1, 1, s)
 
 
 def _closest_kernel(bmin_ref, bmax_ref, blk_ref, tri_ref, rays_ref,
@@ -190,6 +199,23 @@ def _closest_kernel(bmin_ref, bmax_ref, blk_ref, tri_ref, rays_ref,
     o, d, mnt, mxt = _unpack_rays(rays_ref)
     s = o[0].shape[0]
 
+    # Miss defaults; all-dead tiles write them and skip the slab matrix
+    # (see _any_kernel / ops/compaction.py).
+    miss = jnp.concatenate(
+        [jnp.full((s, 1), jnp.inf, jnp.float32),
+         jnp.full((s, 1), -1.0, jnp.float32),
+         jnp.zeros((s, 2), jnp.float32)], axis=1)
+    out_ref[:] = miss.T.reshape(1, 4, s)
+    any_live = jnp.max((mxt >= mnt).astype(jnp.float32)) > 0.0
+
+    @pl.when(any_live)
+    def _live_tile():
+        _closest_body(bmin_ref, bmax_ref, blk_ref, tri_ref, out_ref,
+                      o, d, mnt, mxt, s, nt, k)
+
+
+def _closest_body(bmin_ref, bmax_ref, blk_ref, tri_ref, out_ref,
+                  o, d, mnt, mxt, s, nt, k):
     _, entry = _slab(bmin_ref, bmax_ref, o, d, mnt, mxt, nt)  # (S, NT)
     iota_nt = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
     iota_jk = jax.lax.broadcasted_iota(jnp.int32, (s, CLOSEST_J * k), 1)

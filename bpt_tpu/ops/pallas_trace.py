@@ -301,6 +301,34 @@ def _compact_kernel(bmin_ref, bmax_ref,
                     t_ref, tri_out_ref, u_ref, v_ref,
                     *, nt: int, k: int, u: int):
     s = ox_ref.shape[0]
+    # Miss defaults; all-dead tiles (every lane degenerate) write them
+    # and skip the slab matrix + fetch loop entirely.  Live-lane
+    # compaction (ops/compaction.py) packs batches so dead lanes cluster
+    # into such tiles.
+    t_ref[:] = jnp.full((s,), jnp.inf, jnp.float32)
+    tri_out_ref[:] = jnp.full((s,), -1, jnp.int32)
+    u_ref[:] = jnp.zeros((s,), jnp.float32)
+    v_ref[:] = jnp.zeros((s,), jnp.float32)
+    any_live = jnp.max(
+        (mxt_ref[:] >= mnt_ref[:]).astype(jnp.float32)) > 0.0
+
+    @pl.when(any_live)
+    def _live_tile():
+        _compact_body(bmin_ref, bmax_ref, blk_hi_ref, blk_mid_ref,
+                      blk_lo_ref, tri_hi_ref, tri_mid_ref, tri_lo_ref,
+                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                      mnt_ref, mxt_ref, t_ref, tri_out_ref, u_ref, v_ref,
+                      nt=nt, k=k, u=u)
+
+
+def _compact_body(bmin_ref, bmax_ref,
+                  blk_hi_ref, blk_mid_ref, blk_lo_ref,
+                  tri_hi_ref, tri_mid_ref, tri_lo_ref,
+                  ox_ref, oy_ref, oz_ref,
+                  dx_ref, dy_ref, dz_ref, mnt_ref, mxt_ref,
+                  t_ref, tri_out_ref, u_ref, v_ref,
+                  *, nt: int, k: int, u: int):
+    s = ox_ref.shape[0]
     ox = ox_ref[:][:, None]
     oy = oy_ref[:][:, None]
     oz = oz_ref[:][:, None]

@@ -41,9 +41,19 @@ def init_distributed(coordinator_address=None, num_processes=None,
     After this returns, `jax.devices()` is the GLOBAL device list and
     `make_mesh` builds a global mesh; collectives ride ICI within a
     slice and DCN across hosts.
+
+    MUST run before any JAX device use in the process: the Gloo
+    collectives setting is read once at CPU-backend initialization, so a
+    backend initialized earlier would silently skip it (fails loudly
+    here instead).
     """
     import os
 
+    if getattr(getattr(jax._src, "xla_bridge", None), "_backends", None):
+        raise RuntimeError(
+            "init_distributed must be called before any JAX device use: "
+            "the CPU backend is already initialized, so the Gloo "
+            "collectives setting would be silently ignored.")
     os.environ.setdefault("JAX_CPU_COLLECTIVES_IMPLEMENTATION", "gloo")
     kwargs = {}
     if coordinator_address is not None:

@@ -52,11 +52,17 @@ def run_realtime(scene, meta, cfg_t, out_path, seed=0, frames=None,
         from .io.exr import write_exr
 
     pass_type = PASS_TO_INTEGRATOR.get(cfg_t.integrator, cfg_t.integrator)
+    if pass_type not in ("normal", "simple", "ao", "path"):
+        raise ValueError(
+            f"realtime mode supports normal/simple/ssao/gi passes only "
+            f"(reference ERenderPass, core.h:47-54); got "
+            f"{cfg_t.integrator!r}")
     if frames is None:
         frames = max((cfg_t.spp + spp_per_frame - 1) // spp_per_frame, 1)
 
     acc = np.zeros((cfg_t.height, cfg_t.width, 3), np.float32)
     done = 0
+    n_rays = 0
     for f in range(frames):
         t0 = time.time()
         if pass_type == "path":
@@ -65,17 +71,18 @@ def run_realtime(scene, meta, cfg_t, out_path, seed=0, frames=None,
                 is_explicit=True, max_depth=cfg_t.max_depth,
                 rr_depth=cfg_t.rr_depth, rr_prob=cfg_t.rr_prob,
             )
-            img, _ = render_image_path(scene, cfg_t.camera, cfg,
-                                       seed=seed + f,
-                                       spp_chunk=spp_per_frame)
+            img, nr = render_image_path(scene, cfg_t.camera, cfg,
+                                        seed=seed + f,
+                                        spp_chunk=spp_per_frame)
         else:
             cfg = MiscConfig(
                 width=cfg_t.width, height=cfg_t.height, spp=spp_per_frame,
                 integrator=pass_type, exponent=cfg_t.exponent,
             )
-            img, _ = render_image_misc(scene, meta, cfg_t.camera, cfg,
-                                       seed=seed + f)
+            img, nr = render_image_misc(scene, meta, cfg_t.camera, cfg,
+                                        seed=seed + f)
         acc += np.asarray(img)
+        n_rays += int(nr)
         done += 1
         frame = acc / done
         # First frame saved like the reference (renderpass.cpp:65-80);
@@ -84,4 +91,4 @@ def run_realtime(scene, meta, cfg_t, out_path, seed=0, frames=None,
         dt = time.time() - t0
         print(f"frame {f + 1}/{frames}: {dt * 1e3:.0f} ms "
               f"({1.0 / max(dt, 1e-9):.1f} fps)", flush=True)
-    return acc / max(done, 1), done
+    return acc / max(done, 1), done, n_rays

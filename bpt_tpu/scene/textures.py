@@ -182,7 +182,13 @@ class BitmapTexture1f:
     reads a red/green/blue component depending on position rather than
     a proper single channel (core.h:631-637) — and getMin/getMax loop
     over only the first size/3 entries (core.h:609-620); getAverage
-    averages ALL interleaved components (core.h:601-607)."""
+    averages ALL interleaved components (core.h:601-607).
+
+    Deliberately NOT replicated: the reference's accumulator-init quirk
+    (getMax starts at +FLT_MIN and getMin at FLT_MAX, core.h:610,616; the
+    3f getMax starts at -FLT_MIN), which only shows through for all-zero
+    or all-negative textures — min()/max() here return the true extrema
+    of the scanned range instead."""
 
     def __init__(self, img):
         self.img = np.asarray(img, np.float32)

@@ -36,6 +36,13 @@ class RenderConfig:
     sampling_strategy: str = "emitter"
     # ro (main.cpp:84-87)
     exponent: float = 30.0
+    # bdpt ablations: the reference's compile-time LIGHT_TRACING /
+    # PATH_TRACING / NO_RR switches (src/integrators/bdpt.h:16-18) as
+    # runtime TOML keys (extensions over the reference schema).
+    bdpt_mode: str = "bdpt"       # bdpt | light_trace | path_trace
+    no_rr: bool = True            # reference ships NO_RR=1
+    # samples fused per wavefront dispatch (bpt_tpu extension)
+    samples_per_batch: int = 1
 
 
 def load_toml(path: str) -> RenderConfig:
@@ -85,6 +92,13 @@ def load_toml(path: str) -> RenderConfig:
         # Reference stores bdpt settings in the pt slot (main.cpp:103-107).
         cfg.rr_depth = int(ren.get("rrDepth", 5))
         cfg.rr_prob = float(ren.get("rrProb", 0.0))
+        cfg.bdpt_mode = str(ren.get("bdptMode", "bdpt"))
+        cfg.no_rr = bool(ren.get("noRR", True))
+        cfg.samples_per_batch = int(ren.get("samplesPerBatch", 1))
+        if cfg.bdpt_mode not in ("bdpt", "light_trace", "path_trace"):
+            raise ValueError(
+                f"bdptMode must be bdpt|light_trace|path_trace, got "
+                f"{cfg.bdpt_mode!r}")
     elif typ == "direct":
         cfg.emitter_samples = int(ren.get("emitterSamples", 1))
         cfg.bsdf_samples = int(ren.get("bsdfSamples", 1))

@@ -144,3 +144,84 @@ def test_cli_realtime_progressive(tmp_path, pass_type):
     img = read_exr(out)
     assert img.shape == (16, 16, 3)
     assert np.isfinite(img).all()
+
+
+def test_cli_bdpt_ablation_flags(tmp_path):
+    """--mode / --rr / --samples-per-batch reach BDPTConfig (VERDICT r2
+    item 6: the reference's LIGHT_TRACING/PATH_TRACING/NO_RR switches,
+    bdpt.h:16-18, must be reachable from the command line)."""
+    import json
+
+    toml_path = export_cornell_box(str(tmp_path), width=16, height=16,
+                                   spp=2, rr_depth=2)
+    out_full = str(tmp_path / "full.exr")
+    rc = cli_main([toml_path, "--out", out_full])
+    assert rc == 0
+    out_lt = str(tmp_path / "lt.exr")
+    rc = cli_main([toml_path, "--out", out_lt, "--mode", "light_trace",
+                   "--samples-per-batch", "2"])
+    assert rc == 0
+    with open(out_lt + ".meta.json") as f:
+        meta = json.load(f)
+    assert meta["mode"] == "light_trace" and meta["no_rr"] is True
+    # the ablation renders a genuinely different estimator
+    assert not np.allclose(read_exr(out_full), read_exr(out_lt))
+
+    out_rr = str(tmp_path / "rr.exr")
+    rc = cli_main([toml_path, "--out", out_rr, "--rr"])
+    assert rc == 0
+    with open(out_rr + ".meta.json") as f:
+        meta = json.load(f)
+    assert meta["no_rr"] is False
+    # RR mode walks deeper than the NO_RR hard bound -> different image
+    assert not np.allclose(read_exr(out_full), read_exr(out_rr))
+
+
+def test_toml_bdpt_ablation_keys(tmp_path):
+    """bdptMode / noRR / samplesPerBatch TOML keys parse (extensions
+    over the reference schema, documented in toml_config.py)."""
+    from bpt_tpu.scene.toml_config import load_toml
+
+    toml_path = export_cornell_box(str(tmp_path), width=16, height=16,
+                                   spp=2, rr_depth=2)
+    with open(toml_path) as f:
+        text = f.read()
+    text = text.replace(
+        'type = "bdpt"',
+        'type = "bdpt"\nbdptMode = "path_trace"\nnoRR = false\n'
+        'samplesPerBatch = 2')
+    with open(toml_path, "w") as f:
+        f.write(text)
+    cfg = load_toml(toml_path)
+    assert cfg.bdpt_mode == "path_trace"
+    assert cfg.no_rr is False
+    assert cfg.samples_per_batch == 2
+
+
+def test_cli_realtime_rejects_offline_integrator(tmp_path, capsys):
+    """ADVICE r2: realtime=true with an unsupported pass type must fail
+    with a clear error, not a bare ValueError from deep inside."""
+    toml_path = export_cornell_box(str(tmp_path), width=16, height=16,
+                                   spp=2, rr_depth=2, integrator="bdpt",
+                                   realtime=True)
+    rc = cli_main([toml_path, "--out", str(tmp_path / "x.exr"),
+                   "--frames", "1"])
+    assert rc == 1
+    assert "realtime mode supports" in capsys.readouterr().err
+
+
+def test_cli_realtime_writes_meta(tmp_path):
+    """Realtime renders get the same .meta.json sidecar as offline ones
+    (VERDICT r2 item 6)."""
+    import json
+
+    toml_path = export_cornell_box(str(tmp_path), width=16, height=16,
+                                   spp=2, rr_depth=2, integrator="normal",
+                                   realtime=True)
+    out = str(tmp_path / "rt.exr")
+    rc = cli_main([toml_path, "--out", out, "--frames", "2"])
+    assert rc == 0
+    with open(out + ".meta.json") as f:
+        meta = json.load(f)
+    assert meta["realtime"] is True and meta["frames"] == 2
+    assert meta["rays"] > 0
