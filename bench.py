@@ -10,14 +10,44 @@ throughput" row).  vs_baseline = our rays/s / 1.0e6.
 Scene: the glass-sphere (caustic) Cornell box, full BDPT with MIS at
 256x256 (BASELINE.json config #3).  Loads the reference's cbox_mirror
 glass scene when mounted; falls back to the procedural caustic box.
+
+Stage attribution (VERDICT r2 item 8): telescoping phase ablation — the
+IDENTICAL pipeline is re-timed with one connection technique disabled at
+a time (BDPTConfig.connect_{s2,s1,t1}), so each stage cost is the delta
+of two runs that differ only in that phase (trace + shading + MIS of the
+phase), and the stages sum exactly to the full wall time.  This replaces
+the r2 mode-subtraction estimate, which re-traced primaries per mode and
+dumped dispatch overhead into the remainder.
+
+Sharded mode (VERDICT r2 item 3): BPT_BENCH_MESH=DPxSP (e.g. "1x1" on
+the real chip, "4x2" on the virtual CPU mesh with JAX_PLATFORMS=cpu +
+xla_force_host_platform_device_count) times render_chunk_sharded over a
+('dp','sp') mesh and records rays/s/chip + the shard_map overhead vs the
+unsharded path, so the >80% multi-chip scaling-efficiency north star has
+a one-command harness the day real multi-chip hardware appears.
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
 
+MESH_ENV = os.environ.get("BPT_BENCH_MESH", "")
+
+if MESH_ENV.endswith("cpu"):
+    # Virtual CPU mesh run: must win over the axon sitecustomize before
+    # any device use (see tests/conftest.py for the same dance).
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "--xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
+
 import jax
+
+if MESH_ENV.endswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 REF_TOML = "/root/reference/data/a5/cbox/tinyrender/cbox_bdpt_glass.toml"
@@ -52,6 +82,57 @@ def _load_scene():
     return scene, cam, label
 
 
+def _timed_chunk(render_chunk, scene, cam_consts, cfg, key, spp):
+    """Compile (warmup at the SAME scan length), then time one chunk.
+
+    NOTE: timings must end with a host fetch; on the axon relay backend
+    block_until_ready only confirms enqueue."""
+    fb, nr = render_chunk(scene, cam_consts, cfg, key, spp)
+    float(fb.sum())
+    t0 = time.time()
+    fb, nrays = render_chunk(scene, cam_consts, cfg, key, spp)
+    nrays = int(nrays)
+    _ = float(fb.sum())
+    return time.time() - t0, nrays
+
+
+def _sharded_detail(scene, cam, cfg, mesh_spec):
+    """Time render_chunk_sharded on a DPxSP mesh; rays/s/chip +
+    overhead structure for the scaling north star."""
+    from functools import partial
+
+    from bpt_tpu.parallel.mesh import make_mesh, render_chunk_sharded
+
+    dp, sp = (int(x) for x in mesh_spec.lower().replace("cpu", "").split("x"))
+    n_dev = dp * sp
+    avail = len(jax.devices())
+    if avail < n_dev:
+        return {"error": f"need {n_dev} devices, have {avail}"}
+    mesh = make_mesh(n_dp=dp, n_sp=sp)
+    spp_chunk = max(SPP // sp, 1)
+    cfg_m = dataclasses.replace(cfg, spp=spp_chunk * sp)
+    cam_consts = cam.device_constants()
+    key = jax.random.key(7)
+    fn = jax.jit(partial(render_chunk_sharded, cfg=cfg_m, mesh=mesh,
+                         spp_chunk=spp_chunk, fb_mode="reduce_scatter"))
+    fb, nr = fn(scene, cam_consts, key=key)
+    float(jnp.asarray(fb).sum())
+    t0 = time.time()
+    fb, nr = fn(scene, cam_consts, key=key)
+    nrays = int(nr)
+    float(jnp.asarray(fb).sum())
+    dt = time.time() - t0
+    return {
+        "mesh": f"{dp}x{sp} (dp x sp)",
+        "devices": n_dev,
+        "backend": jax.default_backend(),
+        "spp": spp_chunk * sp,
+        "wall_s": round(dt, 3),
+        "rays": nrays,
+        "rays_per_sec_per_chip": round(nrays / dt / n_dev, 1),
+    }
+
+
 def main():
     from bpt_tpu.integrators.bdpt import BDPTConfig, render_chunk
 
@@ -60,39 +141,29 @@ def main():
     cam_consts = cam.device_constants()
     key = jax.random.key(7)
 
-    import numpy as np
+    dt, nrays = _timed_chunk(render_chunk, scene, cam_consts, cfg, key, SPP)
 
-    # Warmup / compile with the SAME chunk length as the timed run (the
-    # scan length is baked into the compiled program; a different length
-    # would recompile inside the timed region).  NOTE: timings must end
-    # with a host fetch; on the axon relay backend block_until_ready only
-    # confirms enqueue.
-    fb, nr = render_chunk(scene, cam_consts, cfg, key, SPP)
-    float(fb.sum())
-
-    t0 = time.time()
-    fb, nrays = render_chunk(scene, cam_consts, cfg, key, SPP)
-    nrays = int(nrays)
-    _ = float(fb.sum())
-    dt = time.time() - t0
-
-    # Per-stage attribution (VERDICT r1 item 6): the light-only and
-    # eye-only estimators isolate the two walks; the remainder of the
-    # full-BDPT time is the s>=2 all-pairs connection block (its
-    # (L*B)-wide visibility sweep + shading).
-    stages = {}
-    for mode, name in (("light_trace", "light_walk_s"),
-                       ("path_trace", "eye_walk_s")):
-        cfg_m = BDPTConfig(width=WIDTH, height=HEIGHT, spp=SPP,
-                           rr_depth=RR_DEPTH, mode=mode)
-        fb_m, _n = render_chunk(scene, cam_consts, cfg_m, key, SPP)
-        float(fb_m.sum())
-        t1 = time.time()
-        fb_m, _n = render_chunk(scene, cam_consts, cfg_m, key, SPP)
-        float(fb_m.sum())
-        stages[name] = round(time.time() - t1, 3)
-    stages["all_pairs_connect_s"] = round(
-        max(dt - stages["light_walk_s"] - stages["eye_walk_s"], 0.0), 3)
+    # Telescoping stage attribution: disable one phase at a time; each
+    # stage cost is the delta between two otherwise-identical pipelines,
+    # and walks_s is the fully-stripped remainder (closest-hit traces +
+    # BSDF sampling + MIS updates of both walks).
+    times = {"full": dt}
+    for name, kw in (
+        ("no_s2", dict(connect_s2=False)),
+        ("no_s2_s1", dict(connect_s2=False, connect_s1=False)),
+        ("walks", dict(connect_s2=False, connect_s1=False,
+                       connect_t1=False)),
+    ):
+        cfg_a = dataclasses.replace(cfg, **kw)
+        t_a, _ = _timed_chunk(render_chunk, scene, cam_consts, cfg_a, key,
+                              SPP)
+        times[name] = t_a
+    stages = {
+        "all_pairs_connect_s": round(times["full"] - times["no_s2"], 3),
+        "nee_s": round(times["no_s2"] - times["no_s2_s1"], 3),
+        "camera_connect_s": round(times["no_s2_s1"] - times["walks"], 3),
+        "walks_s": round(times["walks"], 3),
+    }
 
     rays_per_sec = float(nrays) / dt
     result = {
@@ -112,6 +183,9 @@ def main():
             "stages": stages,
         },
     }
+    if MESH_ENV:
+        result["detail"]["sharded"] = _sharded_detail(
+            scene, cam, cfg, MESH_ENV)
     print(json.dumps(result))
 
 

@@ -1,9 +1,25 @@
 """Scene-level tracing dispatch.
 
-Selects the dense binned tracer (accel/binned.py, the fast TPU path) when
-the scene carries treelet arrays, falling back to the stackless skip-link
-tracer (accel/traverse.py, the correctness reference).  Both implement
-identical intersection semantics; tests/test_binned.py enforces agreement.
+Routing (fast path first):
+
+  * TPU + treelet tables fit VMEM: fused Pallas kernels — compact-table
+    closest hit (ops/pallas_trace.py) and per-tile sweep any-hit
+    (ops/pallas_sweep.py), each measured fastest on v5e (r2 A/Bs);
+  * TPU + tables beyond the VMEM budget: HBM-streaming sweep kernels
+    (chunked treelet tables double-buffered through VMEM — the
+    large-scene path, VERDICT r2 item 4b);
+  * otherwise: the XLA tracers (accel/binned.py), falling back to the
+    stackless skip-link tracer (accel/traverse.py, the correctness
+    reference) for scenes without treelet arrays.
+
+All paths implement identical intersection semantics; the test suite
+enforces agreement (tests/test_binned.py, test_pallas.py, test_sweep.py,
+test_compaction.py).
+
+Batches of >= _COMPACT_MIN lanes are live-lane-compacted before the
+Pallas kernels (ops/compaction.py): BDPT connection batches are 13-50%
+live, and compaction clusters the dead lanes into all-dead tiles that
+the kernels' early exit skips.
 """
 from __future__ import annotations
 
@@ -11,16 +27,10 @@ import os
 
 from . import binned, traverse
 
-# Closest-hit routes through the fused Pallas kernel (ops/pallas_trace.py)
-# on TPU backends when the scene's treelet tables fit in VMEM (~3x faster
-# than the XLA slot tracer on v5e).  BPT_PALLAS_TRACE=0 forces the XLA
-# path; =1 forces Pallas (e.g. interpret-mode debugging).
+# BPT_PALLAS_TRACE=0 forces the XLA path; =1 forces Pallas (e.g.
+# interpret-mode debugging).
 _PALLAS_ENV = os.environ.get("BPT_PALLAS_TRACE", "")
-# Live-lane compaction before the Pallas tracers (ops/compaction.py).
-# Default on for batches of at least _COMPACT_MIN lanes; BPT_COMPACT=0/1
-# forces.  The BDPT connection batches it targets are 13-50% live
-# (benchmarks/prof_workload.py), and compaction makes their dead tiles
-# hit the kernels' all-dead early exit.
+# BPT_COMPACT=0/1 forces live-lane compaction off/on.
 _COMPACT_ENV = os.environ.get("BPT_COMPACT", "")
 _COMPACT_MIN = 4096
 
@@ -39,6 +49,31 @@ def _use_compact(n_lanes: int) -> bool:
     return n_lanes >= _COMPACT_MIN
 
 
+def _compacted_closest(fn, tg, o, d, min_t, max_t) -> traverse.Hit:
+    if not _use_compact(o.shape[0]):
+        return fn(tg, o, d, min_t, max_t)
+    import jax.numpy as jnp
+
+    from ..ops.compaction import compact_rays, uncompact
+
+    o_c, d_c, mn_c, mx_c, plan = compact_rays(o, d, min_t, max_t)
+    h = fn(tg, o_c, d_c, mn_c, mx_c)
+    tri = uncompact(h.tri, plan, -1)
+    return traverse.Hit(
+        t=uncompact(h.t, plan, jnp.inf), tri=tri,
+        u=uncompact(h.u, plan, 0.0), v=uncompact(h.v, plan, 0.0),
+        valid=tri >= 0)
+
+
+def _compacted_any(fn, tg, o, d, min_t, max_t):
+    if not _use_compact(o.shape[0]):
+        return fn(tg, o, d, min_t, max_t)
+    from ..ops.compaction import compact_rays, uncompact
+
+    o_c, d_c, mn_c, mx_c, plan = compact_rays(o, d, min_t, max_t)
+    return uncompact(fn(tg, o_c, d_c, mn_c, mx_c), plan, False)
+
+
 def trace_closest(scene, o, d, min_t, max_t) -> traverse.Hit:
     if getattr(scene, "treelets", None) is not None:
         if _use_pallas():
@@ -50,25 +85,13 @@ def trace_closest(scene, o, d, min_t, max_t) -> traverse.Hit:
                 # loop fetches from it — measured 31%/19% faster than the
                 # full-table one-hot kernel on coherent/incoherent rays
                 # (v5e, r2).
-                if _use_compact(o.shape[0]):
-                    from ..ops.compaction import compact_rays, uncompact
+                return _compacted_closest(trace_closest_compact,
+                                          scene.treelets, o, d, min_t,
+                                          max_t)
+            from ..ops.pallas_sweep import trace_closest_stream
 
-                    o_c, d_c, mn_c, mx_c, plan = compact_rays(
-                        o, d, min_t, max_t)
-                    h = trace_closest_compact(scene.treelets, o_c, d_c,
-                                              mn_c, mx_c)
-                    import jax.numpy as jnp
-
-                    tri = uncompact(h.tri, plan, -1)
-                    return traverse.Hit(
-                        t=uncompact(h.t, plan, jnp.inf),
-                        tri=tri,
-                        u=uncompact(h.u, plan, 0.0),
-                        v=uncompact(h.v, plan, 0.0),
-                        valid=tri >= 0,
-                    )
-                return trace_closest_compact(scene.treelets, o, d, min_t,
-                                             max_t)
+            return _compacted_closest(trace_closest_stream, scene.treelets,
+                                      o, d, min_t, max_t)
         return binned.trace_closest_slots(scene.treelets, o, d, min_t,
                                           max_t)
     return traverse.trace_closest(scene.geom, o, d, min_t, max_t)
@@ -84,17 +107,16 @@ def trace_any(scene, o, d, min_t, max_t):
     if getattr(scene, "treelets", None) is not None:
         tg = getattr(scene, "treelets_any", None) or scene.treelets
         if _use_pallas():
-            from ..ops.pallas_sweep import fits_vmem as sweep_fits
-            from ..ops.pallas_sweep import trace_any_sweep
+            from ..ops.pallas_sweep import (
+                fits_vmem as sweep_fits,
+                trace_any_stream,
+                trace_any_sweep,
+            )
 
             if sweep_fits(tg):
-                if _use_compact(o.shape[0]):
-                    from ..ops.compaction import compact_rays, uncompact
-
-                    o_c, d_c, mn_c, mx_c, plan = compact_rays(
-                        o, d, min_t, max_t)
-                    occ = trace_any_sweep(tg, o_c, d_c, mn_c, mx_c)
-                    return uncompact(occ, plan, False)
-                return trace_any_sweep(tg, o, d, min_t, max_t)
+                return _compacted_any(trace_any_sweep, tg, o, d, min_t,
+                                      max_t)
+            return _compacted_any(trace_any_stream, tg, o, d, min_t,
+                                  max_t)
         return binned.trace_any_binned(tg, o, d, min_t, max_t)
     return traverse.trace_any(scene.geom, o, d, min_t, max_t)

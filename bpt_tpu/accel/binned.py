@@ -78,6 +78,15 @@ def _pad_rays(o, d, min_t, max_t, tile):
 
 def _treelet_mask(tg: TreeletGeom, o, d, min_t, max_t):
     """(B, NT) slab-overlap matrix (dense, SoA over components)."""
+    return _treelet_entry(tg, o, d, min_t, max_t)[0]
+
+
+def _treelet_entry(tg: TreeletGeom, o, d, min_t, max_t):
+    """(B, NT) slab-overlap matrix + entry distances.
+
+    entry is max(tnear, 0) for overlapped entries and +inf elsewhere —
+    the carried quantity for front-to-back pruning (same convention as
+    the Pallas kernels, ops/pallas_sweep.py)."""
     tiny = 1e-20
     inv_d = jnp.where(d < 0, -1.0, 1.0) / jnp.maximum(jnp.abs(d), tiny)
     tnear = jnp.full((o.shape[0], tg.bmin.shape[0]), -jnp.inf, jnp.float32)
@@ -87,11 +96,13 @@ def _treelet_mask(tg: TreeletGeom, o, d, min_t, max_t):
         t2 = (tg.bmax[None, :, k] - o[:, None, k]) * inv_d[:, None, k]
         tnear = jnp.maximum(tnear, jnp.minimum(t1, t2))
         tfar = jnp.minimum(tfar, jnp.maximum(t1, t2))
-    return (
+    mask = (
         (tfar >= tnear)
         & (tnear <= max_t[:, None])
         & (tfar >= min_t[:, None])
     )
+    entry = jnp.where(mask, jnp.maximum(tnear, 0.0), jnp.inf)
+    return mask, entry
 
 
 def _tile_lists(mask, n_tiles, tile):
@@ -226,14 +237,17 @@ def _block_matrix(tg: TreeletGeom):
 
 
 def trace_closest_slots(tg: TreeletGeom, o, d, min_t, max_t) -> Hit:
-    """Per-ray slot closest hit (the routed XLA fallback): loop until
-    every lane's overlap list is exhausted (bounded by the max per-ray
-    overlap count, small in practice)."""
+    """Per-ray slot closest hit (the routed XLA fallback): ordered
+    front-to-back walk of each lane's own overlap list, carrying entry
+    distances so a lane stops as soon as its best hit beats every
+    remaining entry (VERDICT r2 item 4a; same pruning as the Pallas
+    kernels).  Bounded by the max per-ray overlap count, small in
+    practice; pruning typically exits well before that."""
     b = o.shape[0]
     nt, _, k = tg.block.shape
     min_t = jnp.broadcast_to(jnp.asarray(min_t, jnp.float32), (b,))
     max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (b,))
-    mask = _treelet_mask(tg, o, d, min_t, max_t)
+    _, entry = _treelet_entry(tg, o, d, min_t, max_t)
     block_mat = _block_matrix(tg)
 
     rx = tuple(a[:, None] for a in (o[:, 0], o[:, 1], o[:, 2],
@@ -241,9 +255,10 @@ def trace_closest_slots(tg: TreeletGeom, o, d, min_t, max_t) -> Hit:
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
 
     def slot_body(state, _):
-        mask_rem, t_best, tri_best, u_best, v_best = state
-        has = jnp.any(mask_rem, axis=1)
-        first = jnp.argmax(mask_rem, axis=1)  # first remaining overlap
+        entry_rem, t_best, tri_best, u_best, v_best = state
+        nearest = jnp.min(entry_rem, axis=1)
+        has = nearest < t_best       # front-to-back prune, per lane
+        first = jnp.argmin(entry_rem, axis=1)  # nearest remaining entry
         onehot_b = (iota == first[:, None]) & has[:, None]
         onehot = onehot_b.astype(jnp.float32)
         fetched = jax.lax.dot_general(
@@ -270,18 +285,18 @@ def trace_closest_slots(tg: TreeletGeom, o, d, min_t, max_t) -> Hit:
         tri_best = jnp.where(improved, sel(trib), tri_best)
         u_best = jnp.where(improved, sel(u), u_best)
         v_best = jnp.where(improved, sel(v), v_best)
-        mask_rem = mask_rem & ~onehot_b
-        return (mask_rem, t_best, tri_best, u_best, v_best), None
+        entry_rem = jnp.where(onehot_b, jnp.inf, entry_rem)
+        return (entry_rem, t_best, tri_best, u_best, v_best), None
 
     init = (
-        mask,
+        entry,
         jnp.full((b,), jnp.inf, jnp.float32),
         jnp.full((b,), -1, jnp.int32),
         jnp.zeros((b,), jnp.float32),
         jnp.zeros((b,), jnp.float32),
     )
-    (mask_rem, t_best, tri_best, u_best, v_best) = jax.lax.while_loop(
-        lambda st: jnp.any(st[0]),
+    (entry_rem, t_best, tri_best, u_best, v_best) = jax.lax.while_loop(
+        lambda st: jnp.any(jnp.min(st[0], axis=1) < st[1]),
         lambda st: slot_body(st, None)[0],
         init,
     )

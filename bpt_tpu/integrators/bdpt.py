@@ -75,6 +75,12 @@ class BDPTConfig:
                                    # none and can loop forever, bdpt.h:66-67)
     near: float = 1.0
     far: float = 1000.0
+    # Per-technique toggles (default: all on = full BDPT).  Used by the
+    # bench for exact telescoping stage attribution (disable one phase,
+    # time the identical remaining pipeline) and as estimator ablations.
+    connect_t1: bool = True        # light-vertex -> camera splats
+    connect_s1: bool = True        # next-event estimation
+    connect_s2: bool = True        # all-pairs vertex connections
 
     @property
     def n_steps(self) -> int:
@@ -299,11 +305,15 @@ def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, b,
                                 textured_kd(scene, it))
         delta = bsdf.is_delta(lane)
 
-        pix, rgb, nvis = _connect_to_camera(
-            scene, cam_consts, cfg, it, lane, throughput, vcm, vc, rr_prob,
-            alive & ~delta,
-        )
-        nrays = nrays + nvis
+        if cfg.connect_t1:
+            pix, rgb, nvis = _connect_to_camera(
+                scene, cam_consts, cfg, it, lane, throughput, vcm, vc,
+                rr_prob, alive & ~delta,
+            )
+            nrays = nrays + nvis
+        else:  # bench ablation: keep walk + vertex storage identical
+            pix = jnp.full((b,), cfg.width * cfg.height, jnp.int32)
+            rgb = jnp.zeros((b, 3), jnp.float32)
 
         o2, d2, thr2, vc2, vcm2, alive2, wi = _continue_walk(
             scene, kd, it, lane, rr_prob, throughput, vc, vcm, alive
@@ -449,7 +459,7 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
     # materials/frames gathered once — NOT per eye depth; the per-depth
     # regather at (L*B,) width was a measured hotspot.
     lv = None
-    if cfg.mode == "bdpt" and l > 0:
+    if cfg.mode == "bdpt" and cfg.connect_s2 and l > 0:
         from ..scene.textures import albedo_at
 
         lb = l * b
@@ -530,12 +540,13 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
         pure_spec = pure_spec & ~connectable  # bdpt.h:139
 
         # ---- s=1: NEE (bdpt.h:142) ----
-        nee, nv1 = _connect_to_light(
-            scene, cfg, kd, it, lane, throughput, vcm, vc, rr_prob,
-            connectable,
-        )
-        li = li + nee
-        nrays = nrays + nv1
+        if cfg.connect_s1:
+            nee, nv1 = _connect_to_light(
+                scene, cfg, kd, it, lane, throughput, vcm, vc, rr_prob,
+                connectable,
+            )
+            li = li + nee
+            nrays = nrays + nv1
 
         # ---- s>=2: connect to every stored light vertex (bdpt.h:145-149)
         # All L slots are connected in ONE batched visibility trace of

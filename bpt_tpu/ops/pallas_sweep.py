@@ -146,6 +146,46 @@ def _mt_tile(blk, o, d, k):
     return ok, tt, uu, vv
 
 
+def _any_loop(bmin_ref, bmax_ref, blk_ref, o, d, mnt, mxt, dead, occ0,
+              nt, k):
+    """Union sweep over one resident table (NT treelets): returns the
+    (S, 1) occlusion flags, starting from occ0 (non-zero entries are
+    already-settled lanes — they are excluded from the union)."""
+    s = o[0].shape[0]
+    mask, _ = _slab(bmin_ref, bmax_ref, o, d, mnt, mxt, nt)
+    settled = jnp.maximum(dead, occ0)                          # (S, 1)
+    mask_f = mask.astype(jnp.float32) * (1.0 - settled)
+    um = jnp.max(mask_f, axis=0, keepdims=True)                # (1, NT)
+    iota_nt = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
+
+    def cond(state):
+        return jnp.max(state[0]) > 0.0
+
+    def body(state):
+        um, occ = state
+        # J treelets per iteration: divides loop-overhead-bound trips.
+        # When fewer remain, duplicates point at already-cleared
+        # entries; the extra tests are safe — any true in-range hit
+        # implies AABB overlap, so they can only confirm occlusion.
+        parts = []
+        um_j = um
+        for _ in range(ANY_J):
+            tau = jnp.argmax(um_j[0, :])
+            parts.append(blk_ref[pl.ds(tau * 9, 9), :])
+            um_j = um_j * (iota_nt != tau)
+        blk = jnp.concatenate(parts, axis=1)             # (9, J*K)
+        ok, tt, _, _ = _mt_tile(blk, o, d, ANY_J * k)
+        ok &= (tt >= mnt) & (tt <= mxt)
+        hit = jnp.max(ok.astype(jnp.float32), axis=1, keepdims=True)
+        occ = jnp.maximum(occ, hit)
+        done = jnp.min(jnp.maximum(occ, dead)) > 0.0  # lanes settled
+        um = jnp.where(done, 0.0, um_j)
+        return um, occ
+
+    _, occ = jax.lax.while_loop(cond, body, (um, occ0))
+    return occ
+
+
 def _any_kernel(bmin_ref, bmax_ref, blk_ref, rays_ref, occ_ref,
                 *, nt: int, k: int):
     o, d, mnt, mxt = _unpack_rays(rays_ref)
@@ -159,38 +199,37 @@ def _any_kernel(bmin_ref, bmax_ref, blk_ref, rays_ref, occ_ref,
 
     @pl.when(any_live)
     def _live_tile():
-        mask, _ = _slab(bmin_ref, bmax_ref, o, d, mnt, mxt, nt)
-        um = jnp.max(mask.astype(jnp.float32), axis=0,
-                     keepdims=True)                                # (1, NT)
-        dead = (mxt < mnt).astype(jnp.float32)                     # (S, 1)
-        iota_nt = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
+        dead = (mxt < mnt).astype(jnp.float32)                 # (S, 1)
+        occ = _any_loop(bmin_ref, bmax_ref, blk_ref, o, d, mnt, mxt,
+                        dead, jnp.zeros((s, 1), jnp.float32), nt, k)
+        occ_ref[:] = occ.reshape(1, 1, s)
 
-        def cond(state):
-            return jnp.max(state[0]) > 0.0
 
-        def body(state):
-            um, occ = state
-            # J treelets per iteration: divides loop-overhead-bound trips.
-            # When fewer remain, duplicates point at already-cleared
-            # entries; the extra tests are safe — any true in-range hit
-            # implies AABB overlap, so they can only confirm occlusion.
-            parts = []
-            um_j = um
-            for _ in range(ANY_J):
-                tau = jnp.argmax(um_j[0, :])
-                parts.append(blk_ref[pl.ds(tau * 9, 9), :])
-                um_j = um_j * (iota_nt != tau)
-            blk = jnp.concatenate(parts, axis=1)             # (9, J*K)
-            ok, tt, _, _ = _mt_tile(blk, o, d, ANY_J * k)
-            ok &= (tt >= mnt) & (tt <= mxt)
-            hit = jnp.max(ok.astype(jnp.float32), axis=1, keepdims=True)
-            occ = jnp.maximum(occ, hit)
-            done = jnp.min(jnp.maximum(occ, dead)) > 0.0  # lanes settled
-            um = jnp.where(done, 0.0, um_j)
-            return um, occ
+def _any_stream_kernel(bmin_ref, bmax_ref, blk_ref, rays_ref, occ_ref,
+                       *, nt: int, k: int):
+    """Streaming any-hit: grid = (n_tiles, n_chunks); each step owns one
+    (tile, treelet-chunk) pair.  The chunk tables stream through VMEM
+    (Pallas double-buffers the varying input blocks) while the per-tile
+    occlusion accumulates in the revisited output block — this is the
+    beyond-VMEM path for large scenes (VERDICT r2 item 4b)."""
+    c = pl.program_id(1)
+    o, d, mnt, mxt = _unpack_rays(rays_ref)
+    s = o[0].shape[0]
 
-        _, occ = jax.lax.while_loop(
-            cond, body, (um, jnp.zeros((s, 1), jnp.float32)))
+    @pl.when(c == 0)
+    def _init():
+        occ_ref[:] = jnp.zeros((1, 1, s), jnp.float32)
+
+    occ0 = occ_ref[0, 0, :].reshape(s, 1)
+    dead = (mxt < mnt).astype(jnp.float32)
+    # Skip the chunk when every lane is degenerate or already occluded.
+    any_open = jnp.max(
+        (mxt >= mnt).astype(jnp.float32) * (1.0 - occ0)) > 0.0
+
+    @pl.when(any_open)
+    def _live():
+        occ = _any_loop(bmin_ref, bmax_ref, blk_ref, o, d, mnt, mxt,
+                        dead, occ0, nt, k)
         occ_ref[:] = occ.reshape(1, 1, s)
 
 
@@ -210,12 +249,47 @@ def _closest_kernel(bmin_ref, bmax_ref, blk_ref, tri_ref, rays_ref,
 
     @pl.when(any_live)
     def _live_tile():
+        init = (
+            jnp.full((s, 1), jnp.inf, jnp.float32),
+            jnp.full((s, 1), -1.0, jnp.float32),
+            jnp.zeros((s, 1), jnp.float32),
+            jnp.zeros((s, 1), jnp.float32),
+        )
         _closest_body(bmin_ref, bmax_ref, blk_ref, tri_ref, out_ref,
-                      o, d, mnt, mxt, s, nt, k)
+                      o, d, mnt, mxt, s, nt, k, init)
+
+
+def _closest_stream_kernel(bmin_ref, bmax_ref, blk_ref, tri_ref, rays_ref,
+                           out_ref, *, nt: int, k: int):
+    """Streaming closest-hit: grid = (n_tiles, n_chunks); chunk tables
+    stream through VMEM while the per-tile best hit accumulates in the
+    revisited output block.  Front-to-back pruning works within each
+    chunk, and the carried t_best prunes across chunks (VERDICT r2 item
+    4b: the beyond-VMEM large-scene path)."""
+    c = pl.program_id(1)
+    o, d, mnt, mxt = _unpack_rays(rays_ref)
+    s = o[0].shape[0]
+
+    @pl.when(c == 0)
+    def _init():
+        miss = jnp.concatenate(
+            [jnp.full((s, 1), jnp.inf, jnp.float32),
+             jnp.full((s, 1), -1.0, jnp.float32),
+             jnp.zeros((s, 2), jnp.float32)], axis=1)
+        out_ref[:] = miss.T.reshape(1, 4, s)
+
+    any_live = jnp.max((mxt >= mnt).astype(jnp.float32)) > 0.0
+
+    @pl.when(any_live)
+    def _live_tile():
+        cur = out_ref[0]                                   # (4, S)
+        init = tuple(cur[i, :].reshape(s, 1) for i in range(4))
+        _closest_body(bmin_ref, bmax_ref, blk_ref, tri_ref, out_ref,
+                      o, d, mnt, mxt, s, nt, k, init)
 
 
 def _closest_body(bmin_ref, bmax_ref, blk_ref, tri_ref, out_ref,
-                  o, d, mnt, mxt, s, nt, k):
+                  o, d, mnt, mxt, s, nt, k, init):
     _, entry = _slab(bmin_ref, bmax_ref, o, d, mnt, mxt, nt)  # (S, NT)
     iota_nt = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
     iota_jk = jax.lax.broadcasted_iota(jnp.int32, (s, CLOSEST_J * k), 1)
@@ -274,15 +348,9 @@ def _closest_body(bmin_ref, bmax_ref, blk_ref, tri_ref, out_ref,
         v_best = jnp.where(improved, sel_v, v_best)
         return rem_j, t_best, tri_best, u_best, v_best
 
-    init = (
-        entry,
-        jnp.full((s, 1), jnp.inf, jnp.float32),
-        jnp.full((s, 1), -1.0, jnp.float32),
-        jnp.zeros((s, 1), jnp.float32),
-        jnp.zeros((s, 1), jnp.float32),
-    )
+    t0, tri0, u0, v0 = init
     _, t_best, tri_best, u_best, v_best = jax.lax.while_loop(
-        cond, body, init)
+        cond, body, (entry, t0, tri0, u0, v0))
     out = jnp.concatenate(
         [t_best, tri_best, u_best, v_best], axis=1)  # (S, 4)
     out_ref[:] = out.T.reshape(1, 4, s)
@@ -375,6 +443,95 @@ def trace_closest_sweep(tg, o, d, min_t, max_t, tile: int = TILE,
         grid=(n_tiles,),
         in_specs=[full((3, nt)), full((3, nt)), full((nt * 9, k)),
                   full((nt, k)), ray_spec],
+        out_specs=[out_spec],
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, 4, tile), jnp.float32)],
+        interpret=interpret,
+        **({} if interpret else _compiler_params()),
+    )(bmin_t, bmax_t, blk, tri, packed)[0]
+    t = out[:, 0, :].reshape(-1)[:b_in]
+    tri_o = out[:, 1, :].reshape(-1)[:b_in].astype(jnp.int32)
+    u = out[:, 2, :].reshape(-1)[:b_in]
+    v = out[:, 3, :].reshape(-1)[:b_in]
+    return Hit(t=t, tri=tri_o, u=u, v=v, valid=tri_o >= 0)
+
+
+# ---------------------------------------------------------------------------
+# HBM-streaming variants: scenes beyond the VMEM table budget
+# ---------------------------------------------------------------------------
+
+# Treelets per streamed chunk.  256 keeps a chunk's tables at ~1.3 MB
+# (so two chunks double-buffer comfortably) while amortizing the
+# per-chunk slab matrix.
+STREAM_NC = int(os.environ.get("BPT_STREAM_NC", "256"))
+
+
+def _chunked_tables(tg, nc):
+    """Tables padded to an NC-multiple treelet count by REPEATING the
+    last real treelet.  A duplicate treelet is semantically harmless:
+    any-hit finds the same occluders, closest-hit finds the identical
+    (t, tri) twice — unlike 'empty AABB' padding, it has no unhittable-
+    box edge cases under infinite max_t."""
+    nt, _, k = tg.block.shape
+    pad = (-nt) % nc
+    bmin, bmax, blk, tri = (tg.bmin, tg.bmax, tg.block,
+                            tg.tri_index.astype(jnp.float32))
+    if pad:
+        rep = lambda a: jnp.concatenate(
+            [a, jnp.repeat(a[-1:], pad, axis=0)])
+        bmin, bmax, blk, tri = rep(bmin), rep(bmax), rep(blk), rep(tri)
+    ntp = nt + pad
+    return (bmin.T, bmax.T, blk.reshape(ntp * 9, k), tri, ntp, k)
+
+
+def trace_any_stream(tg, o, d, min_t, max_t, tile: int = TILE,
+                     chunk_nt: int = None,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Occlusion query with HBM-streamed treelet chunks (beyond-VMEM
+    scenes)."""
+    nc = chunk_nt or STREAM_NC
+    b_in, n_tiles, packed = _pad_tiles(o, d, min_t, max_t, tile)
+    bmin_t, bmax_t, blk, _, ntp, k = _chunked_tables(tg, nc)
+    n_chunks = ntp // nc
+
+    ray_spec = pl.BlockSpec((1, 8, tile), lambda i, c: (i, 0, 0))
+    occ_spec = pl.BlockSpec((1, 1, tile), lambda i, c: (i, 0, 0))
+
+    occ = pl.pallas_call(
+        functools.partial(_any_stream_kernel, nt=nc, k=k),
+        grid=(n_tiles, n_chunks),
+        in_specs=[pl.BlockSpec((3, nc), lambda i, c: (0, c)),
+                  pl.BlockSpec((3, nc), lambda i, c: (0, c)),
+                  pl.BlockSpec((nc * 9, k), lambda i, c: (c, 0)),
+                  ray_spec],
+        out_specs=[occ_spec],
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32)],
+        interpret=interpret,
+        **({} if interpret else _compiler_params()),
+    )(bmin_t, bmax_t, blk, packed)[0]
+    return occ.reshape(-1)[:b_in] > 0.0
+
+
+def trace_closest_stream(tg, o, d, min_t, max_t, tile: int = TILE,
+                         chunk_nt: int = None,
+                         interpret: bool = False) -> Hit:
+    """Closest hit with HBM-streamed treelet chunks (beyond-VMEM
+    scenes)."""
+    nc = chunk_nt or STREAM_NC
+    b_in, n_tiles, packed = _pad_tiles(o, d, min_t, max_t, tile)
+    bmin_t, bmax_t, blk, tri, ntp, k = _chunked_tables(tg, nc)
+    n_chunks = ntp // nc
+
+    ray_spec = pl.BlockSpec((1, 8, tile), lambda i, c: (i, 0, 0))
+    out_spec = pl.BlockSpec((1, 4, tile), lambda i, c: (i, 0, 0))
+
+    out = pl.pallas_call(
+        functools.partial(_closest_stream_kernel, nt=nc, k=k),
+        grid=(n_tiles, n_chunks),
+        in_specs=[pl.BlockSpec((3, nc), lambda i, c: (0, c)),
+                  pl.BlockSpec((3, nc), lambda i, c: (0, c)),
+                  pl.BlockSpec((nc * 9, k), lambda i, c: (c, 0)),
+                  pl.BlockSpec((nc, k), lambda i, c: (c, 0)),
+                  ray_spec],
         out_specs=[out_spec],
         out_shape=[jax.ShapeDtypeStruct((n_tiles, 4, tile), jnp.float32)],
         interpret=interpret,
