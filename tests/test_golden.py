@@ -72,15 +72,46 @@ def _compare(img, gold_path, mean_tol, med_tol, p90_tol):
 
 
 def test_glass_caustic_matches_reference_golden():
-    """NO_RR rr_depth=8 vs cbox_bdpt_glass_8depth.exr.  Measured at
-    200x152@32spp on TPU: ratio 1.038, median 2.8%, p90 7.8%."""
+    """NO_RR rr_depth=8 vs cbox_bdpt_glass_8depth.exr.
+
+    Gates at measured headroom (VERDICT r2 item 5): at this test config
+    (80x56@8spp CPU) the measured stats are ratio 0.974, median 0.111,
+    p90 0.184 — stable across spp 8/16, so the residual is the
+    resolution-downsampling systematic, not noise.  A 5% radiance bias
+    in any single technique now fails this gate."""
     img = _render(GLASS_TOML, spp=8, rr_depth=8, no_rr=True)
-    _compare(img, GLASS_GOLD, mean_tol=0.12, med_tol=0.15, p90_tol=0.35)
+    _compare(img, GLASS_GOLD, mean_tol=0.06, med_tol=0.13, p90_tol=0.20)
 
 
 def test_cbox_full_gi_matches_reference_golden():
-    """RR mode vs cbox_bdpt_final.exr (full-GI RR build).  Measured at
-    200x152@64spp on TPU: ratio 1.016, median 4.7%, p90 14.4%."""
+    """RR mode vs cbox_bdpt_final.exr (full-GI RR build).
+
+    Measured at this config (80x56@4spp CPU): ratio 0.902, median 0.106,
+    p90 0.208.  The mean runs ~10% low at tiny spp because the RR-mode
+    estimator is heavy-tailed (rare high-weight deep paths need more
+    samples); at 200x152@64spp on TPU the ratio is 1.016
+    (PARITY_IMAGES.md).  Gates set to measured low-spp headroom; the
+    tight-mean gate lives in benchmarks/golden_parity.py."""
     img = _render(CBOX_TOML, spp=4, rr_depth=2, no_rr=False,
                   max_bounces=12)
-    _compare(img, CBOX_GOLD, mean_tol=0.12, med_tol=0.18, p90_tol=0.45)
+    _compare(img, CBOX_GOLD, mean_tol=0.12, med_tol=0.13, p90_tol=0.28)
+
+
+def test_glass_depth_series_convergence():
+    """The reference ships a NO_RR depth series
+    (cbox_bdpt_glass_{5,6,7,8}depth.exr, means 0.422 -> 0.441): our
+    renders must track each golden's mean AND rise monotonically with
+    rr_depth (VERDICT r2 item 5)."""
+    from bpt_tpu.io.exr import read_exr
+
+    means = {}
+    for depth in (5, 6, 7):
+        img = _render(GLASS_TOML, spp=8, rr_depth=depth, no_rr=True)
+        gold = np.asarray(read_exr(
+            f"{REF}/cbox/tinyrender/cbox_bdpt_glass_{depth}depth.exr"))
+        ratio = img.mean() / gold.mean()
+        assert abs(ratio - 1.0) < 0.06, f"depth {depth}: ratio {ratio:.4f}"
+        means[depth] = img.mean()
+    # Monotone convergence (small epsilon absorbs spp-8 noise).
+    assert means[6] > means[5] - 0.002
+    assert means[7] > means[6] - 0.002
