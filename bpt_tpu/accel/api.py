@@ -44,9 +44,19 @@ def _use_pallas() -> bool:
 
 
 def _use_compact(n_lanes: int) -> bool:
+    # Default OFF: the argsort-based lane compaction was A/B'd on the
+    # real caustic bench (v5e, r3) and LOST end-to-end — 3.00M rays/s
+    # with vs 4.19M without.  The sort+gathers cost ~20ms per 458k-lane
+    # call, which exceeds what dead-tile skipping saves because dead
+    # lanes already carry empty treelet masks (the per-tile union is
+    # driven by live lanes only).  Cheap dead-lane clustering is done
+    # structurally instead: the BDPT all-pairs batch front-packs valid
+    # light slots per pixel and lays lanes out slot-major, so high
+    # slot rows become all-dead tiles without any sort
+    # (integrators/bdpt.py).  BPT_COMPACT=1 re-enables for experiments.
     if _COMPACT_ENV in ("0", "1"):
         return _COMPACT_ENV == "1"
-    return n_lanes >= _COMPACT_MIN
+    return False
 
 
 def _compacted_closest(fn, tg, o, d, min_t, max_t) -> traverse.Hit:

@@ -81,6 +81,11 @@ class BDPTConfig:
     connect_t1: bool = True        # light-vertex -> camera splats
     connect_s1: bool = True        # next-event estimation
     connect_s2: bool = True        # all-pairs vertex connections
+    # Profiling-only ablation: False skips every occlusion trace (all
+    # segments treated as visible).  The image is WRONG (light leaks);
+    # the flag exists so the bench can split trace cost from
+    # shading/MIS cost inside the identical pipeline.
+    trace_vis: bool = True
 
     @property
     def n_steps(self) -> int:
@@ -153,7 +158,7 @@ def _continue_walk(scene, lkeys, it, lane, rr_prob, throughput, vc, vcm,
     return it.p, d_world, throughput, vc, vcm, alive_out, s.wi
 
 
-def _visible(scene, start, end, needed=None):
+def _visible(scene, start, end, needed=None, trace_vis=True):
     """visibilityQuery: True when the segment is *occluded*
     (reference: bdpt.h:498-514).  Ray [Epsilon, dist - 1e-5].
 
@@ -161,6 +166,8 @@ def _visible(scene, start, end, needed=None):
     degenerate segments (max_t < min_t), which empties their treelet
     overlap lists so occlusion tiles with many dead lanes sweep fewer
     blocks."""
+    if not trace_vis:  # profiling ablation (BDPTConfig.trace_vis)
+        return jnp.zeros(start.shape[:-1], bool)
     seg = end - start
     dist = length(seg)
     d = seg / jnp.maximum(dist, 1e-20)[..., None]
@@ -194,7 +201,7 @@ def _connect_to_camera(scene, cam_consts, cfg: BDPTConfig, it, lane,
     ok &= ~is_zero_rgb(f) & (wi_local[..., 2] > 0.0)
 
     occluded = _visible(scene, jnp.broadcast_to(cam_o, it.p.shape), it.p,
-                        needed=ok)
+                        needed=ok, trace_vis=cfg.trace_vis)
     n_vis = jnp.sum(ok)
     ok &= ~occluded
 
@@ -374,7 +381,8 @@ def _connect_to_light(scene, cfg: BDPTConfig, lkeys, it, lane, throughput,
     ok &= ~is_zero_rgb(li)
 
     n_vis = jnp.sum(ok)
-    occluded = _visible(scene, it.p, es.pos, needed=ok)
+    occluded = _visible(scene, it.p, es.pos, needed=ok,
+                        trace_vis=cfg.trace_vis)
     ok &= ~occluded
 
     light_rev_pdf_w = bsdf.pdf_lane(lane, it.wo, wi_local) * rr_prob
@@ -390,7 +398,7 @@ def _connect_to_light(scene, cfg: BDPTConfig, lkeys, it, lane, throughput,
 
 def _connect_vertices(scene, lv_p, lv_frame, lv_wo, lv_thr, lv_vcm, lv_vc,
                       lv_rr, lv_lane, lv_valid, it, eye_lane, throughput,
-                      vcm, vc, rr_prob, active):
+                      vcm, vc, rr_prob, active, trace_vis=True):
     """s>=2, t>=2 technique: deterministic connection of one light-vertex
     slot to the current eye vertex (reference: bdpt.h:434-483,
     VCM Eqs. 40-41). Returns (contribution (B,3), n_vis).
@@ -408,7 +416,7 @@ def _connect_vertices(scene, lv_p, lv_frame, lv_wo, lv_thr, lv_vcm, lv_vc,
     ok = active & lv_valid & (cos_l > 0.0) & (cos_e > 0.0)
 
     n_vis = jnp.sum(ok)
-    occluded = _visible(scene, it.p, lv_p, needed=ok)
+    occluded = _visible(scene, it.p, lv_p, needed=ok, trace_vis=trace_vis)
     ok &= ~occluded
 
     f_l = bsdf.eval_lane(lv_lane, lv_wo, wi_light)
@@ -455,17 +463,42 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
     n_emitters = scene.emitters.radiance.shape[0]
 
     # ---- loop-invariant light-vertex data for the s>=2 connections ----
-    # Flattened once (pixel-major, pixel p's L slots adjacent) and lane
-    # materials/frames gathered once — NOT per eye depth; the per-depth
-    # regather at (L*B,) width was a measured hotspot.
+    # Slots are front-packed per pixel and flattened SLOT-MAJOR (row l =
+    # every pixel's l-th valid slot); lane materials/frames gathered once
+    # — NOT per eye depth; the per-depth regather at (L*B,) width was a
+    # measured hotspot.
+    #
+    # Dead-tile clustering: pixels are additionally permuted by their
+    # valid-slot count (ONE stable 65k argsort per sample — stability
+    # preserves the blocked spatial order within each count class, which
+    # is what bounds the treelet unions).  Row l then has every pixel
+    # with <= l valid slots in a contiguous prefix, so the dead
+    # connection lanes form whole all-dead ray tiles that the sweep
+    # kernel's any_live guard skips.  Without the permutation the
+    # stragglers kill it: at ~8%% live a 128-lane tile is all-dead with
+    # probability 0.92^128 ~ 2e-5, and the measured win was zero.
     lv = None
+    perm = inv_perm = None
     if cfg.mode == "bdpt" and cfg.connect_s2 and l > 0:
         from ..scene.textures import albedo_at
 
         lb = l * b
+        slots = _front_pack_slots(slots)
+        v_p = jnp.sum(slots.valid.astype(jnp.int32), axis=0)   # (B,)
+        # Composite key (lane group, valid count): sorting by v_p alone
+        # measured WORSE (3.77M vs 4.20M rays/s) — a count class draws
+        # pixels from the whole image, so live tiles lost the blocked
+        # spatial coherence that bounds treelet unions.  Grouped sort
+        # keeps each tile inside one lane group (= pixel blocks) and
+        # still makes row l's dead lanes a contiguous prefix per group.
+        grp = jnp.arange(b, dtype=jnp.int32) // _CONNECT_SORT_G
+        perm = jnp.argsort(grp * jnp.int32(l + 1) + v_p, stable=True)
+        inv_perm = jnp.argsort(perm)
+        slots = jax.tree_util.tree_map(
+            lambda a: jnp.take(a, perm, axis=1), slots)
 
-        def flat(a):  # (L, B, ...) -> (B*L, ...) pixel-major
-            return jnp.swapaxes(a, 0, 1).reshape((lb,) + a.shape[2:])
+        def flat(a):  # (L, B, ...) -> (L*B, ...) slot-major
+            return a.reshape((lb,) + a.shape[2:])
 
         lv_kd = albedo_at(scene, flat(slots.tri), flat(slots.u),
                           flat(slots.v))
@@ -553,12 +586,13 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
         # (L*B,) lanes: per-trace fixed costs on TPU dwarf the per-lane
         # work, so batching the all-pairs phase is the difference between
         # O(L) and O(1) trace launches per eye depth.  Lane layout is
-        # pixel-major (pixel p's L segments adjacent): all of a pixel's
-        # connection rays share their eye-vertex origin, which keeps the
-        # occlusion sweep's treelet unions small.
+        # slot-major (see the lv construction note): row l holds every
+        # pixel's l-th front-packed slot, so rows past a pixel block's
+        # valid-slot count become all-dead tiles the kernel skips.
         if lv is not None:
-            def tile_eye(a):  # (B, ...) -> (B*L, ...) repeating each lane
-                return jnp.repeat(a, l, axis=0)
+            def tile_eye(a):  # (B, ...) -> (L*B, ...): L copies of the
+                return jnp.broadcast_to(       # eye-lane arrays, row-major
+                    a[None], (l,) + a.shape).reshape((l * b,) + a.shape[1:])
 
             it_t = jax.tree_util.tree_map(tile_eye, it)
             lane_t = jax.tree_util.tree_map(tile_eye, lane)
@@ -568,9 +602,10 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
                 lv["vc"], lv["rr"], lv["lane"], lv["valid"],
                 it_t, lane_t, tile_eye(throughput), tile_eye(vcm),
                 tile_eye(vc), tile_eye(rr_prob), tile_eye(connectable),
+                trace_vis=cfg.trace_vis,
             )
-            # c is pixel-major ((B, L) flattened), so fold back as (B, L).
-            li = li + jnp.sum(c.reshape(b, l, 3), axis=1)
+            # c is slot-major ((L, B) flattened): fold over slots.
+            li = li + jnp.sum(c.reshape(l, b, 3), axis=0)
             nrays = nrays + nv
 
         o2, d2, thr2, vc2, vcm2, alive2, _ = _continue_walk(
