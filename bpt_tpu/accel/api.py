@@ -16,10 +16,9 @@ All paths implement identical intersection semantics; the test suite
 enforces agreement (tests/test_binned.py, test_pallas.py, test_sweep.py,
 test_compaction.py).
 
-Batches of >= _COMPACT_MIN lanes are live-lane-compacted before the
-Pallas kernels (ops/compaction.py): BDPT connection batches are 13-50%
-live, and compaction clusters the dead lanes into all-dead tiles that
-the kernels' early exit skips.
+Live-lane compaction (ops/compaction.py) is OFF by default: it was
+A/B'd on the real caustic bench and lost end-to-end (see _use_compact).
+BPT_COMPACT=1 re-enables it for experiments.
 """
 from __future__ import annotations
 
@@ -32,7 +31,6 @@ from . import binned, traverse
 _PALLAS_ENV = os.environ.get("BPT_PALLAS_TRACE", "")
 # BPT_COMPACT=0/1 forces live-lane compaction off/on.
 _COMPACT_ENV = os.environ.get("BPT_COMPACT", "")
-_COMPACT_MIN = 4096
 
 
 def _use_pallas() -> bool:
@@ -43,24 +41,22 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _use_compact(n_lanes: int) -> bool:
+def _use_compact() -> bool:
     # Default OFF: the argsort-based lane compaction was A/B'd on the
     # real caustic bench (v5e, r3) and LOST end-to-end — 3.00M rays/s
     # with vs 4.19M without.  The sort+gathers cost ~20ms per 458k-lane
     # call, which exceeds what dead-tile skipping saves because dead
     # lanes already carry empty treelet masks (the per-tile union is
-    # driven by live lanes only).  Cheap dead-lane clustering is done
-    # structurally instead: the BDPT all-pairs batch front-packs valid
-    # light slots per pixel and lays lanes out slot-major, so high
-    # slot rows become all-dead tiles without any sort
-    # (integrators/bdpt.py).  BPT_COMPACT=1 re-enables for experiments.
+    # driven by live lanes only).  Structural front-packing of light
+    # slots was tried in r3/r4 and also lost (integrators/bdpt.py
+    # _CONNECT_LAYOUT table).  BPT_COMPACT=1 re-enables for experiments.
     if _COMPACT_ENV in ("0", "1"):
         return _COMPACT_ENV == "1"
     return False
 
 
 def _compacted_closest(fn, tg, o, d, min_t, max_t) -> traverse.Hit:
-    if not _use_compact(o.shape[0]):
+    if not _use_compact():
         return fn(tg, o, d, min_t, max_t)
     import jax.numpy as jnp
 
@@ -76,7 +72,7 @@ def _compacted_closest(fn, tg, o, d, min_t, max_t) -> traverse.Hit:
 
 
 def _compacted_any(fn, tg, o, d, min_t, max_t):
-    if not _use_compact(o.shape[0]):
+    if not _use_compact():
         return fn(tg, o, d, min_t, max_t)
     from ..ops.compaction import compact_rays, uncompact
 

@@ -18,7 +18,11 @@ the reference implements it, including its deliberate quirks (SURVEY.md
     emitter; replicated verbatim for parity);
   * NO_RR mode: rrDepth acts as a hard depth bound (bdpt.h:18,68,188);
   * RR mode: continuation probability 1.0 unless luminance(throughput) <
-    0.01, then 0.5 (bdpt.h:129,201).
+    0.01, then 0.5 (bdpt.h:129,201);
+  * `rrProb` is parsed from the TOML into the config but never read by
+    the estimator — exactly like the reference, which parses it for the
+    BDPT block (main.cpp:105-106) into settings bdpt.h never uses.  Kept
+    so the reference TOML schema round-trips; see BDPTConfig.rr_prob.
 
 The compile-time ablation switches LIGHT_TRACING / PATH_TRACING
 (bdpt.h:16-17) are runtime-static `mode` flags here: 'bdpt',
@@ -113,6 +117,45 @@ class LightVertexSlots(NamedTuple):
     valid: jnp.ndarray    # (L, B)
 
 
+# Lanes per dead-tile-clustering sort group in the s>=2 connect phase.
+# One group == one 16x16 screen block of _blocked_pixel_order (256 lanes,
+# a multiple of the 128-lane sweep tile), so the sort never mixes pixels
+# from different blocks into one tile and the blocked spatial coherence
+# that bounds per-tile treelet unions is preserved.
+_CONNECT_SORT_G = 256
+
+# Light-vertex slot layout for the s>=2 connect phase, A/B'd on the real
+# chip (v5e, caustic bench 256x256@16spp rr8, r4 — all_pairs stage time):
+#   plain  slot-major flatten, slots in depth order   4.52M rays/s (2.81s)
+#   pack   + stable front-pack of valid slots/pixel   3.30M rays/s (5.07s)
+#   sort   + grouped dead-tile clustering (r3 design) 3.38M rays/s (4.88s)
+# The r3 design loses outright once the eye/light pairing is correct: the
+# per-sample argsort + 12-leaf take_along_axis of the slot pytree (pack)
+# and the per-depth eye-array gathers through the permutation (sort) cost
+# far more than the whole-dead-tile sweep skips save.  Default: plain;
+# BPT_CONNECT_LAYOUT overrides for re-runs.
+import os as _os
+
+_CONNECT_LAYOUT = _os.environ.get("BPT_CONNECT_LAYOUT", "plain")
+assert _CONNECT_LAYOUT in ("plain", "pack", "sort")
+
+
+def _front_pack_slots(slots: LightVertexSlots) -> LightVertexSlots:
+    """Stable per-pixel partition of valid light-vertex slots to the front
+    of the L axis.  Row l afterwards holds each pixel's l-th *valid* slot
+    (original depth order preserved), so a pixel with k valid vertices has
+    rows k..L-1 all-dead — the precondition for the dead-tile clustering
+    sort in eye_subpath_walk."""
+    order = jnp.argsort(~slots.valid, axis=0, stable=True)  # (L, B)
+
+    def pack(a):
+        idx = order.reshape(order.shape + (1,) * (a.ndim - 2))
+        return jnp.take_along_axis(a, jnp.broadcast_to(idx, a.shape),
+                                   axis=0)
+
+    return jax.tree_util.tree_map(pack, slots)
+
+
 def _rr_probability(cfg: BDPTConfig, depth, throughput):
     """Continuation probability for the *next* bounce
     (reference: bdpt.h:129-132, 201-204)."""
@@ -202,7 +245,7 @@ def _connect_to_camera(scene, cam_consts, cfg: BDPTConfig, it, lane,
 
     occluded = _visible(scene, jnp.broadcast_to(cam_o, it.p.shape), it.p,
                         needed=ok, trace_vis=cfg.trace_vis)
-    n_vis = jnp.sum(ok)
+    n_vis = jnp.sum(ok) if cfg.trace_vis else jnp.int32(0)
     ok &= ~occluded
 
     # Safe-masked denominators: rejected lanes must stay finite all the way
@@ -380,7 +423,7 @@ def _connect_to_light(scene, cfg: BDPTConfig, lkeys, it, lane, throughput,
     )
     ok &= ~is_zero_rgb(li)
 
-    n_vis = jnp.sum(ok)
+    n_vis = jnp.sum(ok) if cfg.trace_vis else jnp.int32(0)
     occluded = _visible(scene, it.p, es.pos, needed=ok,
                         trace_vis=cfg.trace_vis)
     ok &= ~occluded
@@ -415,7 +458,9 @@ def _connect_vertices(scene, lv_p, lv_frame, lv_wo, lv_thr, lv_vcm, lv_vc,
     cos_e = wi_eye[..., 2]
     ok = active & lv_valid & (cos_l > 0.0) & (cos_e > 0.0)
 
-    n_vis = jnp.sum(ok)
+    # Rays actually traced: zero under the trace_vis ablation so bench
+    # rays/s attribution matches work done.
+    n_vis = jnp.sum(ok) if trace_vis else jnp.int32(0)
     occluded = _visible(scene, it.p, lv_p, needed=ok, trace_vis=trace_vis)
     ok &= ~occluded
 
@@ -463,39 +508,34 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
     n_emitters = scene.emitters.radiance.shape[0]
 
     # ---- loop-invariant light-vertex data for the s>=2 connections ----
-    # Slots are front-packed per pixel and flattened SLOT-MAJOR (row l =
-    # every pixel's l-th valid slot); lane materials/frames gathered once
-    # — NOT per eye depth; the per-depth regather at (L*B,) width was a
-    # measured hotspot.
+    # Slots are flattened SLOT-MAJOR (row l = every pixel's depth-l slot);
+    # lane materials/frames gathered ONCE — not per eye depth; the
+    # per-depth regather at (L*B,) width was a measured hotspot.
     #
-    # Dead-tile clustering: pixels are additionally permuted by their
-    # valid-slot count (ONE stable 65k argsort per sample — stability
-    # preserves the blocked spatial order within each count class, which
-    # is what bounds the treelet unions).  Row l then has every pixel
-    # with <= l valid slots in a contiguous prefix, so the dead
-    # connection lanes form whole all-dead ray tiles that the sweep
-    # kernel's any_live guard skips.  Without the permutation the
-    # stragglers kill it: at ~8%% live a 128-lane tile is all-dead with
-    # probability 0.92^128 ~ 2e-5, and the measured win was zero.
+    # Layout variants (front-packing, dead-tile clustering sort) are kept
+    # behind BPT_CONNECT_LAYOUT for re-measurement; both LOSE on the
+    # caustic bench — see the _CONNECT_LAYOUT table above.
     lv = None
     perm = inv_perm = None
     if cfg.mode == "bdpt" and cfg.connect_s2 and l > 0:
         from ..scene.textures import albedo_at
 
         lb = l * b
-        slots = _front_pack_slots(slots)
-        v_p = jnp.sum(slots.valid.astype(jnp.int32), axis=0)   # (B,)
-        # Composite key (lane group, valid count): sorting by v_p alone
-        # measured WORSE (3.77M vs 4.20M rays/s) — a count class draws
-        # pixels from the whole image, so live tiles lost the blocked
-        # spatial coherence that bounds treelet unions.  Grouped sort
-        # keeps each tile inside one lane group (= pixel blocks) and
-        # still makes row l's dead lanes a contiguous prefix per group.
-        grp = jnp.arange(b, dtype=jnp.int32) // _CONNECT_SORT_G
-        perm = jnp.argsort(grp * jnp.int32(l + 1) + v_p, stable=True)
-        inv_perm = jnp.argsort(perm)
-        slots = jax.tree_util.tree_map(
-            lambda a: jnp.take(a, perm, axis=1), slots)
+        if _CONNECT_LAYOUT in ("pack", "sort"):
+            slots = _front_pack_slots(slots)
+        if _CONNECT_LAYOUT == "sort":
+            v_p = jnp.sum(slots.valid.astype(jnp.int32), axis=0)  # (B,)
+            # Composite key (lane group, valid count): sorting by v_p
+            # alone measured WORSE — a count class draws pixels from the
+            # whole image, so live tiles lost the blocked spatial
+            # coherence that bounds treelet unions.  Grouped sort keeps
+            # each tile inside one lane group (= pixel blocks) and still
+            # makes row l's dead lanes a contiguous prefix per group.
+            grp = jnp.arange(b, dtype=jnp.int32) // _CONNECT_SORT_G
+            perm = jnp.argsort(grp * jnp.int32(l + 1) + v_p, stable=True)
+            inv_perm = jnp.argsort(perm)
+            slots = jax.tree_util.tree_map(
+                lambda a: jnp.take(a, perm, axis=1), slots)
 
         def flat(a):  # (L, B, ...) -> (L*B, ...) slot-major
             return a.reshape((lb,) + a.shape[2:])
@@ -591,7 +631,13 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
         # valid-slot count become all-dead tiles the kernel skips.
         if lv is not None:
             def tile_eye(a):  # (B, ...) -> (L*B, ...): L copies of the
-                return jnp.broadcast_to(       # eye-lane arrays, row-major
+                # eye-lane arrays, gathered through the slot permutation so
+                # lane l*b+j pairs pixel perm[j]'s eye vertex with pixel
+                # perm[j]'s light subpath (same pixel-sample, bdpt.h:145-149
+                # semantics; the permutation is layout-only).
+                if perm is not None:
+                    a = jnp.take(a, perm, axis=0)
+                return jnp.broadcast_to(
                     a[None], (l,) + a.shape).reshape((l * b,) + a.shape[1:])
 
             it_t = jax.tree_util.tree_map(tile_eye, it)
@@ -604,8 +650,12 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
                 tile_eye(vc), tile_eye(rr_prob), tile_eye(connectable),
                 trace_vis=cfg.trace_vis,
             )
-            # c is slot-major ((L, B) flattened): fold over slots.
-            li = li + jnp.sum(c.reshape(l, b, 3), axis=0)
+            # c is slot-major ((L, B) flattened) in *permuted* pixel order:
+            # fold over slots, then map back to original lane order.
+            summed = jnp.sum(c.reshape(l, b, 3), axis=0)
+            if inv_perm is not None:
+                summed = jnp.take(summed, inv_perm, axis=0)
+            li = li + summed
             nrays = nrays + nv
 
         o2, d2, thr2, vc2, vcm2, alive2, _ = _continue_walk(

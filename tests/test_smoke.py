@@ -1,0 +1,62 @@
+"""Fast import + trace-time smoke: catches undefined-symbol regressions.
+
+Round 3 shipped a NameError (`_front_pack_slots`) that only fired at jit
+trace time of the default-mode BDPT path — no test had run before the
+commit.  This module is the `make quick` gate: it imports every package
+module and traces/executes one tiny render in EVERY mode and layout
+variant, so a symbol referenced-but-undefined anywhere on the hot path
+fails in seconds.
+"""
+import importlib
+import pkgutil
+
+import numpy as np
+
+import bpt_tpu
+
+
+def test_import_all_modules():
+    failures = []
+    for m in pkgutil.walk_packages(bpt_tpu.__path__, "bpt_tpu."):
+        if "libbpt" in m.name:  # ctypes .so, not a Python module
+            continue
+        try:
+            importlib.import_module(m.name)
+        except Exception as e:  # noqa: BLE001 - collect all failures
+            failures.append((m.name, repr(e)))
+    assert not failures, failures
+
+
+def test_tiny_render_all_modes():
+    from bpt_tpu.integrators.bdpt import BDPTConfig, render_image
+    from bpt_tpu.scene.procedural import cornell_box_scene
+
+    w = h = 8
+    scene, meta, cam = cornell_box_scene(w, h)
+    for mode in ("bdpt", "path_trace", "light_trace"):
+        cfg = BDPTConfig(w, h, spp=1, rr_depth=3, mode=mode)
+        img, nrays = render_image(scene, cam, cfg, seed=0, spp_chunk=1)
+        img = np.asarray(img)
+        assert np.isfinite(img).all(), mode
+        assert int(nrays) > 0
+
+
+def test_tiny_render_connect_layouts(monkeypatch):
+    """All BPT_CONNECT_LAYOUT variants must agree (layout-only)."""
+    from bpt_tpu.integrators import bdpt as bd
+    from bpt_tpu.scene.procedural import cornell_box_scene
+
+    w = h = 8
+    scene, meta, cam = cornell_box_scene(w, h)
+    cfg = bd.BDPTConfig(w, h, spp=2, rr_depth=3)
+    imgs = {}
+    for layout in ("plain", "pack", "sort"):
+        monkeypatch.setattr(bd, "_CONNECT_LAYOUT", layout)
+        bd.render_chunk.clear_cache()  # jit captured the prior layout
+        img, _ = bd.render_image(scene, cam, cfg, seed=7, spp_chunk=2)
+        imgs[layout] = np.asarray(img)
+    bd.render_chunk.clear_cache()
+    np.testing.assert_allclose(imgs["pack"], imgs["plain"], rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(imgs["sort"], imgs["plain"], rtol=1e-5,
+                               atol=1e-6)
