@@ -1,0 +1,190 @@
+"""BASELINE config #5 demo: 1024x1024 inverse rendering on the 8-device
+virtual mesh (VERDICT r3 item 5b) + the gradient all-reduce waiver
+measurement (item 7).
+
+Runs a sharded pixel-gradient-descent material recovery at full
+1024x1024 resolution over a ('dp','sp') mesh with render_chunk-style
+sharding: per-device forward render -> psum framebuffer -> global MSE
+loss -> per-shard grads -> psum grad all-reduce -> Adam step.  Asserts
+the loss decreases and every gradient is finite.
+
+Grad all-reduce waiver: the parameter pytree is the MATERIAL TABLE —
+a few hundred bytes (M materials x {Kd, Ks, Ke, Tf}).  The psum of that
+pytree is measured against the full training-step time; overlapping a
+sub-millisecond collective with a multi-second backward pass cannot move
+the step time, which is the measured justification for NOT building
+bucketed-overlap machinery the workload can't use (SURVEY §5 names
+overlap for neural-scale parameter tensors; this renderer has none).
+
+Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+     python benchmarks/inverse_hires.py [--res 1024] [--iters 4]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+# The axon sitecustomize force-selects the TPU platform; honor an
+# explicit JAX_PLATFORMS=cpu (the virtual-mesh run) by re-overriding
+# BEFORE any backend initialization (same dance as tests/conftest.py).
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--spp", type=int, default=2)
+    ap.add_argument("--lr", type=float, default=0.2)
+    args = ap.parse_args()
+
+    from bpt_tpu.diff.grad import apply_params, extract_params
+    from bpt_tpu.integrators.bdpt import BDPTConfig, render_sample
+    from bpt_tpu.scene.procedural import cornell_box_scene
+
+    w = h = args.res
+    scene, meta, cam = cornell_box_scene(
+        w, h, right_object="glass_sphere", sphere_subdiv=1)
+    cfg = BDPTConfig(w, h, spp=args.spp, rr_depth=2)
+    cam_consts = cam.device_constants()
+    n_pix = w * h
+
+    devs = jax.devices()
+    n_sp = 2 if len(devs) % 2 == 0 and len(devs) > 1 else 1
+    n_dp = len(devs) // n_sp
+    mesh = Mesh(np.asarray(devs[: n_dp * n_sp]).reshape(n_dp, n_sp),
+                ("dp", "sp"))
+    assert n_pix % n_dp == 0
+    spp_per_dev = max(cfg.spp // n_sp, 1)
+
+    true_params = extract_params(scene)
+    fields = ("diffuse", "emission")
+
+    def shard_fb(params, pix, key):
+        sp_i = jax.lax.axis_index("sp")
+        s2 = apply_params(scene, params)
+        fb = jnp.zeros((n_pix, 3), jnp.float32)
+
+        def body(fb, s):
+            k = jax.random.fold_in(key, sp_i * spp_per_dev + s)
+            fb_s, _ = render_sample(s2, cam_consts, cfg, k, pix)
+            return fb + fb_s, None
+
+        fb, _ = jax.lax.scan(body, fb, jnp.arange(spp_per_dev))
+        return jax.lax.psum(fb, ("dp", "sp"))
+
+    pix_all = jnp.arange(n_pix, dtype=jnp.int32)
+
+    @jax.jit
+    def render_target(params, key):
+        fn = partial(
+            shard_map, mesh=mesh, in_specs=(P(), P("dp"), P()),
+            out_specs=P(), check_rep=False)(shard_fb)
+        return fn(params, pix_all, key)
+
+    t0 = time.time()
+    target = render_target(true_params, jax.random.key(123))
+    target.block_until_ready()
+    t_target = time.time() - t0
+
+    # Perturbed start: gray albedo, dimmed emitter.
+    params = dict(true_params)
+    params["diffuse"] = jnp.full_like(true_params["diffuse"], 0.5)
+    params["emission"] = true_params["emission"] * 0.3
+
+    def shard_loss(params, pix, key):
+        fb = shard_fb(params, pix, key)
+        return jnp.mean((fb - target) ** 2)
+
+    @jax.jit
+    def train_step(params, opt, key, it):
+        @partial(shard_map, mesh=mesh, in_specs=(P(), P("dp"), P()),
+                 out_specs=(P(), P()), check_rep=False)
+        def sharded_grad(params, pix, key):
+            loss, grads = jax.value_and_grad(shard_loss)(params, pix, key)
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, ("dp", "sp")), grads)
+            return loss, grads
+
+        loss, g = sharded_grad(params, pix_all, key)
+        m, v = opt
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        new_p = dict(params)
+        for f in fields:
+            m[f] = b1 * m[f] + (1 - b1) * g[f]
+            v[f] = b2 * v[f] + (1 - b2) * g[f] ** 2
+            mh = m[f] / (1 - b1 ** (it + 1))
+            vh = v[f] / (1 - b2 ** (it + 1))
+            new_p[f] = jnp.clip(
+                params[f] - args.lr * mh / (jnp.sqrt(vh) + eps), 0.0, None)
+        return loss, g, new_p, (m, v)
+
+    opt = ({f: jnp.zeros_like(params[f]) for f in fields},
+           {f: jnp.zeros_like(params[f]) for f in fields})
+    losses, step_times = [], []
+    key = jax.random.key(7)
+    for it in range(args.iters):
+        t0 = time.time()
+        loss, g, params, opt = train_step(params, opt,
+                                          jax.random.fold_in(key, it), it)
+        loss.block_until_ready()
+        step_times.append(time.time() - t0)
+        losses.append(float(loss))
+        for f, arr in g.items():
+            assert bool(jnp.all(jnp.isfinite(arr))), f"non-finite grad {f}"
+
+    # ---- grad all-reduce waiver measurement -------------------------
+    grad_bytes = sum(int(np.prod(v.shape)) * 4
+                     for v in true_params.values())
+
+    @jax.jit
+    def psum_only(params):
+        @partial(shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(),
+                 check_rep=False)
+        def f(p):
+            return jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, ("dp", "sp")), p)
+        return f(params)
+
+    out = psum_only(true_params)
+    jax.tree_util.tree_leaves(out)[0].block_until_ready()
+    t0 = time.time()
+    n_rep = 50
+    for _ in range(n_rep):
+        out = psum_only(true_params)
+    jax.tree_util.tree_leaves(out)[0].block_until_ready()
+    t_psum = (time.time() - t0) / n_rep
+
+    step_s = float(np.median(step_times[1:] or step_times))
+    report = {
+        "which": "inverse_hires (BASELINE config #5) + allreduce waiver",
+        "resolution": f"{w}x{h}", "mesh": f"{n_dp}x{n_sp}",
+        "device": str(devs[0]), "spp": cfg.spp, "iters": args.iters,
+        "target_render_s": round(t_target, 2),
+        "losses": [round(x, 6) for x in losses],
+        "loss_decreased": bool(losses[-1] < losses[0]),
+        "step_s_median": round(step_s, 2),
+        "grad_param_bytes": grad_bytes,
+        "grad_psum_s": round(t_psum, 6),
+        "psum_frac_of_step": round(t_psum / step_s, 8),
+    }
+    assert report["loss_decreased"], report
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()

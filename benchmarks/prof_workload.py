@@ -45,13 +45,27 @@ def main():
             "overlap_mean": float(per_ray[live].mean()) if live.any() else 0,
             "overlap_max": int(per_ray.max()),
         }
-        for tile in (256, 1024):
+        for tile in (128, 256, 1024):
             b = o.shape[0]
             pad = (-b) % tile
             m = np.concatenate([mask, np.zeros((pad, mask.shape[1]), bool)])
             tu = m.reshape(-1, tile, mask.shape[1]).any(1).sum(1)
             rec[f"union{tile}_mean"] = float(tu.mean())
             rec[f"union{tile}_max"] = int(tu.max())
+        # Compacted layout (live lanes stably packed to the front, the
+        # ops/compaction.py transform): per-128-tile union over the live
+        # prefix + the all-dead-tile count — the quantities that set the
+        # compacted kernel's runtime.
+        m_live = mask[live]
+        pad = (-len(m_live)) % 128
+        m_live = np.concatenate(
+            [m_live, np.zeros((pad, mask.shape[1]), bool)])
+        tu = m_live.reshape(-1, 128, mask.shape[1]).any(1).sum(1)
+        rec["union128_compact_mean"] = (float(tu.mean()) if len(tu)
+                                        else 0.0)
+        total_tiles = (o.shape[0] + 127) // 128
+        rec["tiles_skipped_frac"] = round(
+            1.0 - len(tu) / max(total_tiles, 1), 3)
         calls.append(rec)
 
     def closest_shim(scene_, o, d, mn, mx):

@@ -16,9 +16,10 @@ All paths implement identical intersection semantics; the test suite
 enforces agreement (tests/test_binned.py, test_pallas.py, test_sweep.py,
 test_compaction.py).
 
-Live-lane compaction (ops/compaction.py) is OFF by default: it was
-A/B'd on the real caustic bench and lost end-to-end (see _use_compact).
-BPT_COMPACT=1 re-enables it for experiments.
+Live-lane compaction (ops/compaction.py) is ON by default since r4: the
+sort-payload rewrite made the partition ~9x cheaper than the r3
+argsort+gather version, and it now wins 24% end-to-end on the caustic
+bench (see _use_compact for the numbers).  BPT_COMPACT=0 disables.
 """
 from __future__ import annotations
 
@@ -42,17 +43,18 @@ def _use_pallas() -> bool:
 
 
 def _use_compact() -> bool:
-    # Default OFF: the argsort-based lane compaction was A/B'd on the
-    # real caustic bench (v5e, r3) and LOST end-to-end — 3.00M rays/s
-    # with vs 4.19M without.  The sort+gathers cost ~20ms per 458k-lane
-    # call, which exceeds what dead-tile skipping saves because dead
-    # lanes already carry empty treelet masks (the per-tile union is
-    # driven by live lanes only).  Structural front-packing of light
-    # slots was tried in r3/r4 and also lost (integrators/bdpt.py
-    # _CONNECT_LAYOUT table).  BPT_COMPACT=1 re-enables for experiments.
+    # Default ON since r4: compaction's cost was never the partition (an
+    # argsort of 458k keys is 0.3 ms) but the HBM random row-GATHER of
+    # the ray columns (~18 ms — TPU gather sustains <1 GB/s), which is
+    # why the r3 argsort+take version lost 3.00M vs 4.19M rays/s.  The
+    # r4 rewrite moves the columns as `lax.sort` PAYLOADS through XLA's
+    # sorting network instead (ops/compaction.py): 1.95 ms at 458k
+    # lanes, and the caustic bench gains 4.53M -> 5.62M rays/s
+    # (all_pairs 2.80 -> 2.08 s, walks 2.34 -> 2.00 s at 16 spp).
+    # BPT_COMPACT=0 disables for A/Bs.
     if _COMPACT_ENV in ("0", "1"):
         return _COMPACT_ENV == "1"
-    return False
+    return True
 
 
 def _compacted_closest(fn, tg, o, d, min_t, max_t) -> traverse.Hit:
@@ -60,15 +62,13 @@ def _compacted_closest(fn, tg, o, d, min_t, max_t) -> traverse.Hit:
         return fn(tg, o, d, min_t, max_t)
     import jax.numpy as jnp
 
-    from ..ops.compaction import compact_rays, uncompact
+    from ..ops.compaction import compact_rays, uncompact_many
 
     o_c, d_c, mn_c, mx_c, plan = compact_rays(o, d, min_t, max_t)
     h = fn(tg, o_c, d_c, mn_c, mx_c)
-    tri = uncompact(h.tri, plan, -1)
-    return traverse.Hit(
-        t=uncompact(h.t, plan, jnp.inf), tri=tri,
-        u=uncompact(h.u, plan, 0.0), v=uncompact(h.v, plan, 0.0),
-        valid=tri >= 0)
+    t, tri, u, v = uncompact_many(
+        (h.t, h.tri, h.u, h.v), plan, (jnp.inf, -1, 0.0, 0.0))
+    return traverse.Hit(t=t, tri=tri, u=u, v=v, valid=tri >= 0)
 
 
 def _compacted_any(fn, tg, o, d, min_t, max_t):

@@ -28,6 +28,11 @@ NEE_FACE = 10
 LIGHT_WALK = 100
 NEE_WALK = 200
 EYE_WALK = 300
+# Pooled light-transport mode: light subpaths keyed by POOL INDEX, not
+# pixel — the pool is a global set shared by every pixel and every
+# device shard, so the estimate is invariant to how the pool is sharded
+# (integrators/bdpt.py render_sample_pool, parallel/mesh.py ring mode).
+POOL_WALK = 400
 
 
 def stream(key, *ids):

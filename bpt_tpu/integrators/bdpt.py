@@ -90,6 +90,18 @@ class BDPTConfig:
     # the flag exists so the bench can split trace cost from
     # shading/MIS cost inside the identical pipeline.
     trace_vis: bool = True
+    # Pooled light transport (SURVEY §5 "long-context analog" row): 0 =
+    # reference semantics (one light subpath per pixel-sample, paired
+    # per pixel, bdpt.h:219-241).  N > 0 = a GLOBAL pool of N light
+    # subpaths per sample shared by every pixel: each eye vertex
+    # connects against every pool subpath with 1/N averaging (unbiased
+    # by linearity; VCM-style light-path counting with n_light = N in
+    # every MIS weight), and t=1 splats come from the pool paths with
+    # the same 1/N normalization.  This is the estimator whose connect
+    # phase scales independently of pixel sharding — the pool shards
+    # across the 'dp' mesh axis and ring-rotates via ppermute
+    # (parallel/mesh.py render_chunk_pool_ring).
+    light_pool: int = 0
 
     @property
     def n_steps(self) -> int:
@@ -221,9 +233,14 @@ def _visible(scene, start, end, needed=None, trace_vis=True):
 
 
 def _connect_to_camera(scene, cam_consts, cfg: BDPTConfig, it, lane,
-                       throughput, vcm, vc, rr_prob, active):
+                       throughput, vcm, vc, rr_prob, active,
+                       n_light=None):
     """t=1 technique: splat a light vertex onto the image plane
     (reference: bdpt.h:295-371, VCM Eqs. 46-47).
+
+    n_light: light-path count for normalization + MIS (default W*H, the
+    reference's one-subpath-per-pixel counting, bdpt.h:330-351; pooled
+    mode passes cfg.light_pool).
 
     Returns (pixel (B,), rgb (B,3), n_vis_rays); pixel == W*H for dropped
     lanes."""
@@ -257,7 +274,8 @@ def _connect_to_camera(scene, cam_consts, cfg: BDPTConfig, it, lane,
     cam_solid_to_area = wi_local[..., 2] * inv_d2
     image_to_surf = image_area_to_solid * cam_solid_to_area
 
-    n_light = float(w * h)
+    if n_light is None:
+        n_light = float(w * h)
     safe_z = jnp.where(ok, jnp.maximum(wi_local[..., 2], 1e-20), 1.0)
     radiance = (
         throughput
@@ -283,9 +301,12 @@ def _connect_to_camera(scene, cam_consts, cfg: BDPTConfig, it, lane,
 
 
 def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, b,
-                       primary_alive):
+                       primary_alive, n_light=None):
     """Light walk (reference: bdpt.h:158-217).  `lkeys` is the per-lane key
     array for this sample.
+
+    n_light: light-path count for the t=1 splats (see _connect_to_camera);
+    pooled mode passes cfg.light_pool and b == pool-shard size.
 
     Returns (slots: LightVertexSlots, splat_pixels (L,B), splat_rgb (L,B,3),
     ray_count)."""
@@ -358,7 +379,7 @@ def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, b,
         if cfg.connect_t1:
             pix, rgb, nvis = _connect_to_camera(
                 scene, cam_consts, cfg, it, lane, throughput, vcm, vc,
-                rr_prob, alive & ~delta,
+                rr_prob, alive & ~delta, n_light=n_light,
             )
             nrays = nrays + nvis
         else:  # bench ablation: keep walk + vertex storage identical
@@ -398,7 +419,13 @@ def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, b,
 def _connect_to_light(scene, cfg: BDPTConfig, lkeys, it, lane, throughput,
                       vcm, vc, rr_prob, active):
     """s=1 next-event estimation (reference: bdpt.h:374-430,
-    VCM Eqs. 44-45). Returns (contribution (B,3), n_vis)."""
+    VCM Eqs. 44-45).
+
+    Visibility is DEFERRED: returns (li (B,3), ok (B,), end (B,3)) with
+    li fully weighted but NOT occlusion-masked; the caller batches the
+    [it.p -> end] segments with the s>=2 segments into one compacted
+    trace launch per eye depth (one launch's fixed cost + jointly
+    compacted live lanes instead of two half-empty sweeps)."""
     es = sample_emitter_position(scene, rng.lane_fold(lkeys, rng.NEE_WALK))
 
     l2e = it.p - es.pos
@@ -423,11 +450,6 @@ def _connect_to_light(scene, cfg: BDPTConfig, lkeys, it, lane, throughput,
     )
     ok &= ~is_zero_rgb(li)
 
-    n_vis = jnp.sum(ok) if cfg.trace_vis else jnp.int32(0)
-    occluded = _visible(scene, it.p, es.pos, needed=ok,
-                        trace_vis=cfg.trace_vis)
-    ok &= ~occluded
-
     light_rev_pdf_w = bsdf.pdf_lane(lane, it.wo, wi_local) * rr_prob
     eye_prev_rev_pdf_w = bsdf.pdf_lane(lane, wi_local, it.wo) * rr_prob
     eye_cur_rev_pdf_a = cos_at_eye / dist2 * dir_pdf_w
@@ -436,43 +458,42 @@ def _connect_to_light(scene, cfg: BDPTConfig, lkeys, it, lane, throughput,
         eye_cur_rev_pdf_a, eye_prev_rev_pdf_w, vc, vcm))
     if cfg.mode == "bdpt":
         li = li * mis[..., None]
-    return jnp.where(ok[..., None], li, 0.0), n_vis
+    return jnp.where(ok[..., None], li, 0.0), ok, es.pos
 
 
 def _connect_vertices(scene, lv_p, lv_frame, lv_wo, lv_thr, lv_vcm, lv_vc,
-                      lv_rr, lv_lane, lv_valid, it, eye_lane, throughput,
-                      vcm, vc, rr_prob, active, trace_vis=True):
+                      lv_rr, lv_lane, lv_valid, eye_p, eye_frame, eye_wo,
+                      eye_lane, throughput, vcm, vc, rr_prob, active):
     """s>=2, t>=2 technique: deterministic connection of one light-vertex
     slot to the current eye vertex (reference: bdpt.h:434-483,
-    VCM Eqs. 40-41). Returns (contribution (B,3), n_vis).
+    VCM Eqs. 40-41).
+
+    Visibility is DEFERRED (see _connect_to_light): returns
+    (li (B,3), ok (B,)) with li fully weighted but NOT occlusion-masked;
+    the caller traces the [eye_p -> lv_p] segments, batched with
+    whatever other segments exist at the same program point.
 
     lv_frame / lv_lane are precomputed per light vertex (hoisted out of
     the eye-depth scan by the caller — they are loop-invariant)."""
-    l2e = it.p - lv_p
+    l2e = eye_p - lv_p
     inv_d2 = 1.0 / jnp.maximum(length2(l2e), 1e-20)
     dirn = l2e * jnp.sqrt(inv_d2)[..., None]
 
     wi_light = frame_to_local(lv_frame, dirn)
-    wi_eye = frame_to_local(it.frame_ns, -dirn)
+    wi_eye = frame_to_local(eye_frame, -dirn)
     cos_l = wi_light[..., 2]
     cos_e = wi_eye[..., 2]
     ok = active & lv_valid & (cos_l > 0.0) & (cos_e > 0.0)
 
-    # Rays actually traced: zero under the trace_vis ablation so bench
-    # rays/s attribution matches work done.
-    n_vis = jnp.sum(ok) if trace_vis else jnp.int32(0)
-    occluded = _visible(scene, it.p, lv_p, needed=ok, trace_vis=trace_vis)
-    ok &= ~occluded
-
     f_l = bsdf.eval_lane(lv_lane, lv_wo, wi_light)
-    f_e = bsdf.eval_lane(eye_lane, it.wo, wi_eye)
+    f_e = bsdf.eval_lane(eye_lane, eye_wo, wi_eye)
     li = f_l * f_e * lv_thr * throughput * inv_d2[..., None]
 
     # Reverse pdfs for the MIS weight (bdpt.h:458-479).
     pdf_l2e = bsdf.pdf_lane(lv_lane, lv_wo, wi_light) * lv_rr
     pdf_l_prev = bsdf.pdf_lane(lv_lane, wi_light, lv_wo) * lv_rr
-    pdf_e2l = bsdf.pdf_lane(eye_lane, it.wo, wi_eye) * rr_prob
-    pdf_e_prev = bsdf.pdf_lane(eye_lane, wi_eye, it.wo) * rr_prob
+    pdf_e2l = bsdf.pdf_lane(eye_lane, eye_wo, wi_eye) * rr_prob
+    pdf_e_prev = bsdf.pdf_lane(eye_lane, wi_eye, eye_wo) * rr_prob
 
     light_rev_a = pdf_e2l * cos_l * inv_d2
     eye_rev_a = pdf_l2e * cos_e * inv_d2
@@ -481,16 +502,29 @@ def _connect_vertices(scene, lv_p, lv_frame, lv_wo, lv_thr, lv_vcm, lv_vc,
         eye_rev_a, pdf_e_prev, vc, vcm))
 
     li = li * mis[..., None]
-    return jnp.where(ok[..., None], li, 0.0), n_vis
+    return jnp.where(ok[..., None], li, 0.0), ok
 
 
 def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
-                     slots: LightVertexSlots):
-    """Eye walk (reference: bdpt.h:46-155). Returns (Li (B,3), ray_count)."""
+                     slots: LightVertexSlots, n_light=None,
+                     collect=False):
+    """Eye walk (reference: bdpt.h:46-155).
+
+    slots: per-pixel light-vertex slots for the in-walk s>=2 connections
+    (None skips them — pooled mode connects outside the walk).
+    n_light: MIS light-path count (default W*H; pooled mode passes the
+    pool size).  collect: additionally return the eye-vertex slots
+    (L, B, ...) for external connection phases.
+
+    Returns (Li (B,3), ray_count) — plus eye slots when collect."""
     b = primary_d.shape[0]
     l = cfg.n_steps
     li = jnp.zeros((b, 3), jnp.float32)
+    if n_light is None:
+        n_light = float(cfg.width * cfg.height)
     if l == 0:
+        if collect:
+            return li, jnp.int32(0), None
         return li, jnp.int32(0)
 
     # t=1 pdf machinery (bdpt.h:49-62).
@@ -501,7 +535,7 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
     t1_pdf = image_to_solid
 
     throughput = jnp.ones((b, 3), jnp.float32)
-    vc, vcm = mis_fn.eye_walk_init(float(cfg.width * cfg.height), t1_pdf)
+    vc, vcm = mis_fn.eye_walk_init(n_light, t1_pdf)
 
     o0 = jnp.broadcast_to(cam_consts["o"], primary_d.shape)
 
@@ -517,7 +551,8 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
     # caustic bench — see the _CONNECT_LAYOUT table above.
     lv = None
     perm = inv_perm = None
-    if cfg.mode == "bdpt" and cfg.connect_s2 and l > 0:
+    if (cfg.mode == "bdpt" and cfg.connect_s2 and l > 0
+            and slots is not None):
         from ..scene.textures import albedo_at
 
         lb = l * b
@@ -612,23 +647,22 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
         connectable = alive & ~delta
         pure_spec = pure_spec & ~connectable  # bdpt.h:139
 
-        # ---- s=1: NEE (bdpt.h:142) ----
+        # ---- s=1 NEE (bdpt.h:142) + s>=2 all-pairs (bdpt.h:145-149) ----
+        # Both techniques' shading/MIS run with visibility DEFERRED, then
+        # ALL their segments — (B,) NEE + (L*B,) slot-major all-pairs —
+        # resolve in ONE compacted trace launch per eye depth: per-trace
+        # fixed costs on TPU dwarf the per-lane work, and the joint batch
+        # compacts the (mostly-dead) lanes of both phases together
+        # (VERDICT r3 item 2: "fuse ... into ONE sweep launch per eye
+        # depth").
+        nee_li = nee_ok = nee_end = None
         if cfg.connect_s1:
-            nee, nv1 = _connect_to_light(
+            nee_li, nee_ok, nee_end = _connect_to_light(
                 scene, cfg, kd, it, lane, throughput, vcm, vc, rr_prob,
                 connectable,
             )
-            li = li + nee
-            nrays = nrays + nv1
-
-        # ---- s>=2: connect to every stored light vertex (bdpt.h:145-149)
-        # All L slots are connected in ONE batched visibility trace of
-        # (L*B,) lanes: per-trace fixed costs on TPU dwarf the per-lane
-        # work, so batching the all-pairs phase is the difference between
-        # O(L) and O(1) trace launches per eye depth.  Lane layout is
-        # slot-major (see the lv construction note): row l holds every
-        # pixel's l-th front-packed slot, so rows past a pixel block's
-        # valid-slot count become all-dead tiles the kernel skips.
+        c_li = c_ok = None
+        eye_p_t = None
         if lv is not None:
             def tile_eye(a):  # (B, ...) -> (L*B, ...): L copies of the
                 # eye-lane arrays, gathered through the slot permutation so
@@ -640,35 +674,71 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
                 return jnp.broadcast_to(
                     a[None], (l,) + a.shape).reshape((l * b,) + a.shape[1:])
 
-            it_t = jax.tree_util.tree_map(tile_eye, it)
             lane_t = jax.tree_util.tree_map(tile_eye, lane)
-            c, nv = _connect_vertices(
+            eye_p_t = tile_eye(it.p)
+            c_li, c_ok = _connect_vertices(
                 scene,
                 lv["p"], lv["frame"], lv["wo"], lv["thr"], lv["vcm"],
                 lv["vc"], lv["rr"], lv["lane"], lv["valid"],
-                it_t, lane_t, tile_eye(throughput), tile_eye(vcm),
+                eye_p_t, tile_eye(it.frame_ns), tile_eye(it.wo),
+                lane_t, tile_eye(throughput), tile_eye(vcm),
                 tile_eye(vc), tile_eye(rr_prob), tile_eye(connectable),
-                trace_vis=cfg.trace_vis,
             )
-            # c is slot-major ((L, B) flattened) in *permuted* pixel order:
-            # fold over slots, then map back to original lane order.
-            summed = jnp.sum(c.reshape(l, b, 3), axis=0)
-            if inv_perm is not None:
-                summed = jnp.take(summed, inv_perm, axis=0)
-            li = li + summed
-            nrays = nrays + nv
+
+        if nee_li is not None or c_li is not None:
+            starts, ends, oks = [], [], []
+            if nee_li is not None:
+                starts.append(it.p)
+                ends.append(nee_end)
+                oks.append(nee_ok)
+            if c_li is not None:
+                starts.append(eye_p_t)
+                ends.append(lv["p"])
+                oks.append(c_ok)
+            ok_all = jnp.concatenate(oks)
+            occ = _visible(scene, jnp.concatenate(starts),
+                           jnp.concatenate(ends), needed=ok_all,
+                           trace_vis=cfg.trace_vis)
+            vis = ~occ
+            if cfg.trace_vis:
+                nrays = nrays + jnp.sum(ok_all)
+            off = 0
+            if nee_li is not None:
+                li = li + jnp.where(vis[:b, None], nee_li, 0.0)
+                off = b
+            if c_li is not None:
+                c = jnp.where(vis[off:, None], c_li, 0.0)
+                # c is slot-major ((L, B) flattened) in *permuted* pixel
+                # order: fold over slots, map back to original lane order.
+                summed = jnp.sum(c.reshape(l, b, 3), axis=0)
+                if inv_perm is not None:
+                    summed = jnp.take(summed, inv_perm, axis=0)
+                li = li + summed
 
         o2, d2, thr2, vc2, vcm2, alive2, _ = _continue_walk(
             scene, kd, it, lane, rr_prob, throughput, vc, vcm, alive
         )
+        ys = None
+        if collect:
+            # The eye vertex as used by the s>=2 connection at THIS depth
+            # (pre-continue state; reference connects the current vertex
+            # before walking on, bdpt.h:142-152).
+            ys = LightVertexSlots(
+                p=it.p, ns=it.frame_ns[..., 2, :], wo=it.wo,
+                throughput=throughput, vcm=vcm, vc=vc, rr=rr_prob,
+                mat_id=it.mat_id, tri=it.tri, u=it.u, v=it.v,
+                valid=connectable,
+            )
         return (o2, d2, thr2, vc2, vcm2, alive2, rr_prob, pure_spec, li,
-                nrays), None
+                nrays), ys
 
     init = (o0, primary_d, throughput, vc, vcm,
             jnp.ones((b,), bool), jnp.ones((b,), jnp.float32),
             jnp.ones((b,), bool), li, jnp.int32(0))
     depths = jnp.arange(1, l + 1)
-    carry, _ = jax.lax.scan(step, init, depths)
+    carry, eye_slots = jax.lax.scan(step, init, depths)
+    if collect:
+        return carry[-2], carry[-1], eye_slots
     return carry[-2], carry[-1]
 
 
@@ -735,6 +805,185 @@ def render_sample(scene: SceneData, cam_consts, cfg: BDPTConfig, key,
     if splat_pix.shape[0] > 0:
         fb = fb.at[splat_pix.reshape(-1)].add(
             splat_rgb.reshape(-1, 3))
+    return fb[: w * h], nrays
+
+
+def connect_pool(scene, cfg: BDPTConfig, eye_slots: LightVertexSlots,
+                 pool_slots: LightVertexSlots, n_pool: int,
+                 chunk: int = None):
+    """All-pairs connection of every eye vertex against every pool light
+    vertex, averaged by the pool path count (pooled mode's s>=2 phase).
+
+    eye_slots: (L_e, B, ...) from eye_subpath_walk(collect=True).
+    pool_slots: (L_p, P_shard, ...) — ONE shard of the global pool (the
+    ring driver calls this once per shard rotation).
+    n_pool: TOTAL pool path count (the 1/N averaging + MIS n_light).
+
+    The quadratic pair set is swept in chunks of pool vertices so each
+    visibility trace stays near the tuned batch width.  Returns
+    (li (B, 3), n_rays)."""
+    from ..scene.textures import albedo_at
+
+    l_e, b = eye_slots.valid.shape
+    l_p, p = pool_slots.valid.shape
+    e = l_e * b
+    lp = l_p * p
+    if e == 0 or lp == 0:
+        return jnp.zeros((b, 3), jnp.float32), jnp.int32(0)
+    if chunk is None:
+        chunk = max(1, min(lp, 458752 // max(e, 1)))
+    n_chunks = -(-lp // chunk)
+    pad = n_chunks * chunk - lp
+
+    def flat_pad(a):  # (L_p, P, ...) -> (n_chunks, chunk, ...)
+        a = a.reshape((lp,) + a.shape[2:])
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+        return a.reshape((n_chunks, chunk) + a.shape[1:])
+
+    pv_kd = albedo_at(
+        scene, pool_slots.tri.reshape(lp), pool_slots.u.reshape(lp),
+        pool_slots.v.reshape(lp))
+    pool_lane = bsdf.gather_lane(
+        scene.mat, pool_slots.mat_id.reshape(lp), pv_kd)
+    pool_lane = jax.tree_util.tree_map(
+        lambda a: flat_pad(a.reshape((l_p, p) + a.shape[1:])), pool_lane)
+    lv = dict(
+        p=flat_pad(pool_slots.p),
+        frame=flat_pad(make_frame(pool_slots.ns)),
+        wo=flat_pad(pool_slots.wo),
+        thr=flat_pad(pool_slots.throughput),
+        vcm=flat_pad(pool_slots.vcm),
+        vc=flat_pad(pool_slots.vc),
+        rr=flat_pad(pool_slots.rr),
+        valid=flat_pad(pool_slots.valid),
+        lane=pool_lane,
+    )
+
+    # Eye side, flattened to (E,) and lane-materials gathered once.
+    def eflat(a):
+        return a.reshape((e,) + a.shape[2:])
+
+    eye_kd = albedo_at(scene, eflat(eye_slots.tri), eflat(eye_slots.u),
+                       eflat(eye_slots.v))
+    eye = dict(
+        p=eflat(eye_slots.p),
+        frame=make_frame(eflat(eye_slots.ns)),
+        wo=eflat(eye_slots.wo),
+        thr=eflat(eye_slots.throughput),
+        vcm=eflat(eye_slots.vcm),
+        vc=eflat(eye_slots.vc),
+        rr=eflat(eye_slots.rr),
+        valid=eflat(eye_slots.valid),
+        lane=bsdf.gather_lane(scene.mat, eflat(eye_slots.mat_id), eye_kd),
+    )
+
+    def tile_eye(a):  # (E, ...) -> (chunk*E, ...)
+        return jnp.broadcast_to(
+            a[None], (chunk,) + a.shape).reshape(
+                (chunk * e,) + a.shape[1:])
+
+    eye_t = {k: jax.tree_util.tree_map(tile_eye, v)
+             for k, v in eye.items()}
+
+    def rep_pool(a):  # (chunk, ...) -> (chunk*E, ...): each pool vertex
+        return jnp.repeat(a, e, axis=0)       # against every eye lane
+
+    def body(carry, lv_c):
+        li, nrays = carry
+        lv_p = rep_pool(lv_c["p"])
+        c_li, c_ok = _connect_vertices(
+            scene,
+            lv_p, rep_pool(lv_c["frame"]),
+            rep_pool(lv_c["wo"]), rep_pool(lv_c["thr"]),
+            rep_pool(lv_c["vcm"]), rep_pool(lv_c["vc"]),
+            rep_pool(lv_c["rr"]),
+            jax.tree_util.tree_map(rep_pool, lv_c["lane"]),
+            rep_pool(lv_c["valid"]),
+            eye_t["p"], eye_t["frame"], eye_t["wo"], eye_t["lane"],
+            eye_t["thr"], eye_t["vcm"], eye_t["vc"], eye_t["rr"],
+            eye_t["valid"],
+        )
+        occ = _visible(scene, eye_t["p"], lv_p, needed=c_ok,
+                       trace_vis=cfg.trace_vis)
+        c = jnp.where((~occ)[:, None], c_li, 0.0)
+        nv = jnp.sum(c_ok) if cfg.trace_vis else jnp.int32(0)
+        # (chunk*E, 3) -> fold pool chunk AND eye depth -> (B, 3)
+        li = li + jnp.sum(c.reshape(chunk, l_e, b, 3), axis=(0, 1))
+        return (li, nrays + nv), None
+
+    (li, nrays), _ = jax.lax.scan(
+        body, (jnp.zeros((b, 3), jnp.float32), jnp.int32(0)), lv)
+    return li / float(n_pool), nrays
+
+
+def render_sample_pool(scene: SceneData, cam_consts, cfg: BDPTConfig, key,
+                       pixel_idx, pool_ids, rotate_fn=None, n_ring=1,
+                       lkeys=None):
+    """One pooled-light-transport sample (cfg.light_pool > 0).
+
+    Estimator: a global pool of cfg.light_pool light subpaths per sample,
+    shared by every pixel; each eye vertex connects against every pool
+    subpath with 1/N averaging, t=1 splats come from the pool with the
+    same path counting, s=0/s=1 stay per-eye-vertex.  Unbiased (each pool
+    path is an i.i.d. light subpath) and equal in expectation to the
+    per-pixel pairing at light_pool == 1-per-pixel counting.
+
+    pool_ids: (P_shard,) GLOBAL pool indices owned by this shard — RNG is
+    keyed by pool identity, so the estimate is invariant to sharding.
+    rotate_fn/n_ring: ring driver hooks (parallel/mesh.py): after each
+    connect_pool pass the pool shard is rotated to the next device;
+    n_ring = number of shards = ppermute steps.  Defaults run the whole
+    pool locally in one pass.
+
+    Returns (framebuffer (W*H, 3), n_rays)."""
+    b = pixel_idx.shape[0]
+    w, h = cfg.width, cfg.height
+    n_pool = cfg.light_pool
+
+    if lkeys is None:
+        lkeys = rng.lane_keys(key, pixel_idx)
+    jitter = None
+    if cfg.spp > 1:
+        jitter = rng.uniform2(rng.lane_fold(lkeys, rng.PIXEL_JITTER))
+    o, d = generate_rays(cam_consts, w, h, pixel_idx, jitter)
+
+    primary_hit = trace_closest(scene, o, d, cfg.near, cfg.far)
+    primary_alive = primary_hit.valid
+    nrays = jnp.int32(b)
+
+    # Pool light walk: keys by GLOBAL pool id (sharding-invariant).
+    pkeys = rng.lane_keys(rng.stream(key, rng.POOL_WALK), pool_ids)
+    pool_slots, splat_pix, splat_rgb, nr_l = light_subpath_walk(
+        scene, cam_consts, cfg, pkeys, pool_ids.shape[0],
+        jnp.ones((pool_ids.shape[0],), bool), n_light=float(n_pool),
+    )
+    nrays = nrays + nr_l
+
+    # Eye walk: s=0 + s=1 only; slots collected for the pool phase.
+    li, nr_e, eye_slots = eye_subpath_walk(
+        scene, cam_consts, cfg, lkeys, d, None,
+        n_light=float(n_pool), collect=True,
+    )
+    nrays = nrays + nr_e
+
+    # s>=2 via the pool, one pass per ring shard.
+    if cfg.connect_s2 and eye_slots is not None:
+        cur = pool_slots
+        for r in range(n_ring):
+            li_c, nv = connect_pool(scene, cfg, eye_slots, cur, n_pool)
+            li = li + li_c
+            nrays = nrays + nv
+            if rotate_fn is not None and r + 1 < n_ring:
+                cur = rotate_fn(cur)
+
+    li = jnp.where(primary_alive[..., None], li, 0.0)
+
+    fb = jnp.zeros((w * h + 1, 3), jnp.float32)
+    fb = fb.at[pixel_idx].add(li / cfg.spp)
+    if splat_pix.shape[0] > 0:
+        fb = fb.at[splat_pix.reshape(-1)].add(splat_rgb.reshape(-1, 3))
     return fb[: w * h], nrays
 
 

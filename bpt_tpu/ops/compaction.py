@@ -11,12 +11,18 @@ because the live lanes are spread thinly over ALL tiles.
 `compact_rays` stably partitions the live lanes to the front of the
 batch, so the trailing tiles become all-dead — which the Pallas kernels
 then skip entirely via their all-dead early exit (`pl.when` guard around
-the slab matrix and fetch loop).  The partition is order-preserving
-(prefix-sum positions), so the pixel-major ray coherence the sweep
-kernels rely on for small treelet unions survives compaction.
+the slab matrix and fetch loop).  The partition is order-preserving, so
+the pixel-major ray coherence the sweep kernels rely on for small treelet
+unions survives compaction.
 
-Cost: one cumsum, one scatter and one gather over the batch — HBM
-bandwidth trivia next to a single slab-matrix pass.
+Implementation (the part that makes it WIN, r4): the ray columns ride the
+partition as `jax.lax.sort` PAYLOADS — XLA's sorting network moves them
+through VMEM — instead of being gathered through a permutation.  Measured
+on the chip at 458k lanes: multi-payload sort 1.95 ms vs argsort + 4
+`jnp.take` 17.9 ms (TPU random row-gather sustains <1 GB/s; the r3
+argsort-based compaction lost its whole kernel-side win to exactly that,
+3.00M vs 4.19M rays/s end-to-end).  Un-compaction is one more sort keyed
+by the carried original index (0.54 ms).
 
 This is the TPU answer to the wavefront compaction the reference gets
 for free from its per-pixel recursion (reference: src/core/renderer.cpp
@@ -27,15 +33,16 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
 class CompactPlan(NamedTuple):
     """Mapping between the original batch and its compacted layout."""
 
-    pos: jnp.ndarray    # (B,) int32: compacted index of each original lane
-                        # (clamped to 0 for dead lanes; gate with `valid`)
-    valid: jnp.ndarray  # (B,) bool: lane was live in the original batch
+    orig_idx: jnp.ndarray  # (B,) int32: original index of each compacted
+                           # lane (the partition permutation)
+    valid: jnp.ndarray     # (B,) bool: lane was live in the ORIGINAL order
 
 
 def compact_rays(o, d, min_t, max_t):
@@ -43,37 +50,52 @@ def compact_rays(o, d, min_t, max_t):
 
     Returns (o_c, d_c, min_c, max_c, plan).  Compacted arrays keep the
     original static size B; slots past the live count are the dead lanes
-    (gathered whole, so they keep their degenerate max_t < min_t) and
+    (moved whole, so they keep their degenerate max_t < min_t) and
     trailing tiles are all-dead.
-
-    Implementation note: gather-only (one stable argsort + takes).  An
-    earlier scatter formulation (`.at[dest].set`) lowered to a serialized
-    per-element loop inside the full jitted render pipeline on TPU
-    (~1s per 458k-lane call — an 18x end-to-end regression); XLA's sort
-    lowers to an efficient vectorized sorting network, and the gathers
-    are plain HBM traffic.
     """
     b = o.shape[0]
     min_t = jnp.broadcast_to(jnp.asarray(min_t, jnp.float32), (b,))
     max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (b,))
     valid = max_t >= min_t
-    # Stable sort on the dead flag: live lanes first, original order kept
-    # on both sides.
-    order = jnp.argsort(jnp.logical_not(valid), stable=True)
-    o_c = jnp.take(o, order, axis=0)
-    d_c = jnp.take(d, order, axis=0)
-    min_c = jnp.take(min_t, order)
-    max_c = jnp.take(max_t, order)
-    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1   # compacted slot of a
-    return o_c, d_c, min_c, max_c, CompactPlan(    # live lane
-        jnp.maximum(pos, 0), valid)
+    dead = (~valid).astype(jnp.int32)
+    iota = jnp.arange(b, dtype=jnp.int32)
+    # Two keys (dead flag, original index) = stable partition; the six
+    # ray columns + bounds are payloads carried by the sorting network.
+    out = jax.lax.sort(
+        [dead, iota, o[:, 0], o[:, 1], o[:, 2],
+         d[:, 0], d[:, 1], d[:, 2], min_t, max_t],
+        num_keys=2)
+    _, orig_idx, ox, oy, oz, dx, dy, dz, mn_c, mx_c = out
+    o_c = jnp.stack([ox, oy, oz], axis=-1)
+    d_c = jnp.stack([dx, dy, dz], axis=-1)
+    return o_c, d_c, mn_c, mx_c, CompactPlan(orig_idx, valid)
+
+
+def _restore(plan: CompactPlan, cols):
+    """Sort compacted per-lane columns back to original order (one sort,
+    all columns as payloads)."""
+    out = jax.lax.sort([plan.orig_idx] + list(cols), num_keys=1)
+    return out[1:]
 
 
 def uncompact(x_c, plan: CompactPlan, fill):
-    """Gather per-lane results back to the original order.
+    """Restore one compacted per-lane array to the original lane order.
 
-    x_c: (B, ...) compacted result array; dead lanes receive `fill`.
-    """
-    out = jnp.take(x_c, plan.pos, axis=0)
-    v = plan.valid.reshape(plan.valid.shape + (1,) * (x_c.ndim - 1))
-    return jnp.where(v, out, jnp.asarray(fill, x_c.dtype))
+    Dead lanes receive `fill`."""
+    (x,) = uncompact_many((x_c,), plan, (fill,))
+    return x
+
+
+def uncompact_many(xs_c, plan: CompactPlan, fills):
+    """Restore several (B,) arrays in ONE payload sort (cheaper than one
+    sort each).  Bool arrays round-trip through int32."""
+    cols, dtypes = [], []
+    for x in xs_c:
+        dtypes.append(x.dtype)
+        cols.append(x.astype(jnp.int32) if x.dtype == jnp.bool_ else x)
+    outs = _restore(plan, cols)
+    res = []
+    for x, dt, fl in zip(outs, dtypes, fills):
+        x = x.astype(dt)
+        res.append(jnp.where(plan.valid, x, jnp.asarray(fl, dt)))
+    return tuple(res)

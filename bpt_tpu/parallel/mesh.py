@@ -24,7 +24,11 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ..integrators.bdpt import BDPTConfig, render_sample
+from ..integrators.bdpt import (
+    BDPTConfig,
+    render_sample,
+    render_sample_pool,
+)
 from ..scene.scene import SceneData
 
 
@@ -138,6 +142,88 @@ def render_chunk_sharded(scene: SceneData, cam_consts, cfg: BDPTConfig,
         return fb, nrays
 
     return shard_fn(pixel_idx)
+
+
+def render_chunk_pool_ring(scene: SceneData, cam_consts, cfg: BDPTConfig,
+                           mesh: Mesh, key, spp_chunk: int,
+                           fb_mode: str = "psum"):
+    """Pooled light transport with RING-ROTATED light-vertex shards
+    (SURVEY §5 "long-context analog": the ring-attention pattern applied
+    to BDPT's quadratic eye x light connect phase).
+
+    cfg.light_pool light subpaths per sample are sharded over the 'dp'
+    axis (alongside the pixel shards).  The s>=2 connect runs blockwise:
+    each device connects its local eye vertices against the pool shard
+    it currently holds, then `jax.lax.ppermute` rotates the shard to the
+    next device — after n_dp steps every eye shard has connected against
+    every light subpath WITHOUT ever gathering the pool to one chip.
+    Per-step traffic is one pool shard (O(pool/n_dp) vertices) around
+    the ICI ring, overlapping with each connect pass's trace work.
+
+    RNG is keyed by GLOBAL pool index, so the estimate matches the
+    single-device `render_sample_pool` exactly (up to reduction order) —
+    tests/test_ring.py asserts it.
+
+    Reference anchor: the all-pairs loop being distributed is
+    src/integrators/bdpt.h:146-148."""
+    if fb_mode not in ("psum", "reduce_scatter"):
+        raise ValueError(f"unknown fb_mode {fb_mode!r}")
+    if cfg.light_pool <= 0:
+        raise ValueError("render_chunk_pool_ring needs cfg.light_pool > 0")
+    w, h = cfg.width, cfg.height
+    n_pix = w * h
+    n_dp = mesh.shape["dp"]
+    if n_pix % n_dp != 0:
+        raise ValueError(
+            f"pixel count {n_pix} must be divisible by dp axis {n_dp}")
+    if cfg.light_pool % n_dp != 0:
+        raise ValueError(
+            f"light_pool {cfg.light_pool} must be divisible by dp axis "
+            f"{n_dp}")
+    pixel_idx = jnp.arange(n_pix, dtype=jnp.int32)
+    pool_ids = jnp.arange(cfg.light_pool, dtype=jnp.int32)
+    fb_spec = P() if fb_mode == "psum" else P("dp")
+
+    ring = [(i, (i + 1) % n_dp) for i in range(n_dp)]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp")),
+        out_specs=(fb_spec, P()),
+        check_rep=False,
+    )
+    def shard_fn(pix, pids):
+        sp_i = jax.lax.axis_index("sp")
+
+        def rotate(slots):
+            return jax.tree_util.tree_map(
+                lambda a: jax.lax.ppermute(a, "dp", ring), slots)
+
+        fb = jnp.zeros((n_pix, 3), jnp.float32)
+        nrays = jnp.int32(0)
+
+        def body(carry, s):
+            fb, nrays = carry
+            sample_idx = sp_i * spp_chunk + s
+            k = jax.random.fold_in(key, sample_idx)
+            fb_s, nr = render_sample_pool(
+                scene, cam_consts, cfg, k, pix, pids,
+                rotate_fn=rotate if n_dp > 1 else None, n_ring=n_dp)
+            return (fb + fb_s, nrays + nr), None
+
+        (fb, nrays), _ = jax.lax.scan(
+            body, (fb, nrays), jnp.arange(spp_chunk))
+        if fb_mode == "psum":
+            fb = jax.lax.psum(fb, ("dp", "sp"))
+        else:
+            fb = jax.lax.psum_scatter(fb, "dp", scatter_dimension=0,
+                                      tiled=True)
+            fb = jax.lax.psum(fb, "sp")
+        nrays = jax.lax.psum(nrays, ("dp", "sp"))
+        return fb, nrays
+
+    return shard_fn(pixel_idx, pool_ids)
 
 
 def render_image_sharded(scene: SceneData, camera, cfg: BDPTConfig,
