@@ -28,6 +28,13 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import jax
+
+# Honor an explicit JAX_PLATFORMS=cpu over the axon sitecustomize (the
+# same dance as tests/conftest.py) so this can run off-chip.
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 REF = "/root/reference/data/a5/bonus_bdpt/tinyrender"

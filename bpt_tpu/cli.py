@@ -31,6 +31,12 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=None,
                     help="frame budget for realtime=true scenes "
                          "(default: spp / 1-spp-per-frame)")
+    ap.add_argument("--fly", default=None, metavar="CMDS",
+                    help="free-fly camera command script for realtime "
+                         "scenes ('w/a/s/d'=keydown, 'P+5;'/'H-3;'="
+                         "pitch/heading, '.'=frame — the reference's "
+                         "WASD camera, renderpass.cpp:419-449, driven "
+                         "headlessly; accumulation resets on motion)")
     ap.add_argument("--preview", action="store_true",
                     help="write the EXR after every spp chunk (progressive "
                          "preview; the TPU-honest analog of the reference's "
@@ -88,9 +94,18 @@ def main(argv=None):
 
         t0 = time.time()
         try:
-            img, frames, n_rays = run_realtime(
-                scene, meta, cfg_t, out_path, seed=args.seed,
-                frames=args.frames)
+            if args.fly is not None:
+                from .realtime import run_interactive
+
+                img, poses = run_interactive(
+                    scene, meta, cfg_t, out_path, commands=args.fly,
+                    seed=args.seed)
+                frames = sum(n for n, _ in poses)
+                n_rays = 0
+            else:
+                img, frames, n_rays = run_realtime(
+                    scene, meta, cfg_t, out_path, seed=args.seed,
+                    frames=args.frames)
         except ValueError as e:
             print(str(e), file=sys.stderr)
             return 1

@@ -92,3 +92,65 @@ def run_realtime(scene, meta, cfg_t, out_path, seed=0, frames=None,
         print(f"frame {f + 1}/{frames}: {dt * 1e3:.0f} ms "
               f"({1.0 / max(dt, 1e-9):.1f} fps)", flush=True)
     return acc / max(done, 1), done, n_rays
+
+
+def run_interactive(scene, meta, cfg_t, out_path, commands, seed=0,
+                    spp_per_frame=1, write_exr=None):
+    """Free-fly interactive frame loop (the reference's WASD camera,
+    renderpass.cpp:419-449 + camera.h CameraRT — see core/flycam.py).
+
+    commands: a fly-command string (core.flycam.parse_commands grammar;
+    '.' = one frame) or an iterable of (event, value) pairs.  Each frame
+    integrates pending camera motion; when the pose changed, progressive
+    accumulation RESETS (the path-tracing equivalent of a rasterizer
+    redraw) and refinement restarts at the new pose.
+
+    Returns (final image, poses: list of (frames_accumulated, camera)).
+    """
+    import dataclasses as _dc
+
+    import numpy as np
+
+    from .core.flycam import FlyCamera, parse_commands
+
+    if write_exr is None:
+        from .io.exr import write_exr
+    if isinstance(commands, str):
+        commands = parse_commands(commands)
+
+    fly = FlyCamera.from_lookat(
+        o=np.asarray(cfg_t.camera.o), at=np.asarray(cfg_t.camera.at),
+        up=np.asarray(cfg_t.camera.up), fov=cfg_t.camera.fov)
+
+    acc = np.zeros((cfg_t.height, cfg_t.width, 3), np.float32)
+    done = 0
+    frame_no = 0
+    poses = []
+    cam = fly.camera(cfg_t.width, cfg_t.height)
+
+    def render_one(cam, f):
+        cfg_f = _dc.replace(cfg_t, camera=cam)
+        img, done_f, nr = run_realtime(
+            scene, meta, cfg_f, out_path, seed=seed + f, frames=1,
+            spp_per_frame=spp_per_frame, write_exr=lambda *_a, **_k: None)
+        return np.asarray(img)
+
+    for ev, val in commands:
+        if ev == ".":
+            if fly.update():          # pose changed -> reset refinement
+                poses.append((done, cam))
+                cam = fly.camera(cfg_t.width, cfg_t.height)
+                acc[:] = 0.0
+                done = 0
+            acc += render_one(cam, frame_no)
+            done += 1
+            frame_no += 1
+            write_exr(out_path, acc / done)
+        elif ev in "wasd":
+            fly.move(ev)
+        elif ev == "P":
+            fly.pitch(val)
+        elif ev == "H":
+            fly.heading(val)
+    poses.append((done, cam))
+    return (acc / max(done, 1)), poses
