@@ -35,6 +35,10 @@ import time
 
 MESH_ENV = os.environ.get("BPT_BENCH_MESH", "")
 
+# Persistent compile cache: bench recompiles survive process restarts
+# (the axon tunnel dislikes long first-compile windows).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 if MESH_ENV.endswith("cpu"):
     # Virtual CPU mesh run: must win over the axon sitecustomize before
     # any device use (see tests/conftest.py for the same dance).

@@ -151,6 +151,15 @@ import os as _os
 _CONNECT_LAYOUT = _os.environ.get("BPT_CONNECT_LAYOUT", "plain")
 assert _CONNECT_LAYOUT in ("plain", "pack", "sort")
 
+# Mega-connect: resolve ALL of a sample's connection segments (NEE +
+# camera + the full L x L all-pairs grid) in ONE compacted any-hit
+# launch per sample (_mega_connect) instead of 3 launches per eye depth.
+# BPT_MEGA=0 restores the per-depth path for A/Bs; the lane budget caps
+# the L*L*B pair grid (deep RR walks fall back automatically).
+_MEGA = _os.environ.get("BPT_MEGA", "1") == "1"
+_MEGA_MAX_LANES = int(_os.environ.get("BPT_MEGA_MAX_LANES",
+                                      str(8 * 1024 * 1024)))
+
 
 def _front_pack_slots(slots: LightVertexSlots) -> LightVertexSlots:
     """Stable per-pixel partition of valid light-vertex slots to the front
@@ -242,7 +251,11 @@ def _connect_to_camera(scene, cam_consts, cfg: BDPTConfig, it, lane,
     reference's one-subpath-per-pixel counting, bdpt.h:330-351; pooled
     mode passes cfg.light_pool).
 
-    Returns (pixel (B,), rgb (B,3), n_vis_rays); pixel == W*H for dropped
+    Visibility is DEFERRED (see _connect_to_light): returns
+    (pixel (B,), rgb (B,3), ok (B,)) with rgb fully weighted but NOT
+    occlusion-masked; the caller traces the [camera -> it.p] segments
+    (batched with other segments where possible) and must zero rgb /
+    drop pixel for occluded lanes.  pixel == W*H for pre-vis-dropped
     lanes."""
     w, h = cfg.width, cfg.height
     cam_o = cam_consts["o"]
@@ -259,11 +272,6 @@ def _connect_to_camera(scene, cam_consts, cfg: BDPTConfig, it, lane,
     wi_local = frame_to_local(it.frame_ns, -dirn)
     f = bsdf.eval_lane(lane, it.wo, wi_local)
     ok &= ~is_zero_rgb(f) & (wi_local[..., 2] > 0.0)
-
-    occluded = _visible(scene, jnp.broadcast_to(cam_o, it.p.shape), it.p,
-                        needed=ok, trace_vis=cfg.trace_vis)
-    n_vis = jnp.sum(ok) if cfg.trace_vis else jnp.int32(0)
-    ok &= ~occluded
 
     # Safe-masked denominators: rejected lanes must stay finite all the way
     # through, or their NaN/inf would poison gradients via jnp.where.
@@ -297,19 +305,27 @@ def _connect_to_camera(scene, cam_consts, cfg: BDPTConfig, it, lane,
     pixel = y_pix * w + x_pix
     pixel = jnp.where(ok, pixel, w * h)
     radiance = jnp.where(ok[..., None], radiance, 0.0)
-    return pixel, radiance, n_vis
+    return pixel, radiance, ok
 
 
 def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, b,
-                       primary_alive, n_light=None):
+                       primary_alive, n_light=None, defer_t1=False):
     """Light walk (reference: bdpt.h:158-217).  `lkeys` is the per-lane key
     array for this sample.
 
     n_light: light-path count for the t=1 splats (see _connect_to_camera);
     pooled mode passes cfg.light_pool and b == pool-shard size.
 
+    defer_t1=False: the t=1 occlusion is traced per depth in-scan and the
+    returned splats are final.  defer_t1=True: NO t=1 traces happen here;
+    the caller gets (slots, splat_pix, splat_rgb, nrays, t1_ok) with
+    splat_rgb pre-visibility and t1_ok (L,B) the lanes whose
+    [camera -> slots.p] segment still needs an occlusion test (the
+    mega-connect batch in render_sample resolves them all in one
+    compacted launch).
+
     Returns (slots: LightVertexSlots, splat_pixels (L,B), splat_rgb (L,B,3),
-    ray_count)."""
+    ray_count[, t1_ok])."""
     l = cfg.n_steps
     lk = rng.lane_fold(lkeys, rng.LIGHT_WALK)
     es = sample_emitter_position(scene, lk)
@@ -342,6 +358,9 @@ def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, b,
             tri=jnp.zeros((0, b), jnp.int32), u=zero1, v=zero1,
             valid=jnp.zeros((0, b), bool),
         )
+        if defer_t1:
+            return (slots, jnp.zeros((0, b), jnp.int32), zero3,
+                    jnp.int32(0), jnp.zeros((0, b), bool))
         return (slots, jnp.zeros((0, b), jnp.int32), zero3,
                 jnp.int32(0))
 
@@ -377,14 +396,23 @@ def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, b,
         delta = bsdf.is_delta(lane)
 
         if cfg.connect_t1:
-            pix, rgb, nvis = _connect_to_camera(
+            pix, rgb, okc = _connect_to_camera(
                 scene, cam_consts, cfg, it, lane, throughput, vcm, vc,
                 rr_prob, alive & ~delta, n_light=n_light,
             )
-            nrays = nrays + nvis
+            if not defer_t1:
+                occ = _visible(
+                    scene, jnp.broadcast_to(cam_consts["o"], it.p.shape),
+                    it.p, needed=okc, trace_vis=cfg.trace_vis)
+                if cfg.trace_vis:
+                    nrays = nrays + jnp.sum(okc)
+                okc &= ~occ
+                pix = jnp.where(okc, pix, cfg.width * cfg.height)
+                rgb = jnp.where(okc[..., None], rgb, 0.0)
         else:  # bench ablation: keep walk + vertex storage identical
             pix = jnp.full((b,), cfg.width * cfg.height, jnp.int32)
             rgb = jnp.zeros((b, 3), jnp.float32)
+            okc = jnp.zeros((b,), bool)
 
         o2, d2, thr2, vc2, vcm2, alive2, wi = _continue_walk(
             scene, kd, it, lane, rr_prob, throughput, vc, vcm, alive
@@ -407,12 +435,14 @@ def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, b,
             valid=vertex_valid,
         )
         return (o2, d2, thr2, vc2, vcm2, alive2, rr_prob, nrays), (
-            vertex, pix, rgb)
+            vertex, pix, rgb, okc if defer_t1 else None)
 
     init = (es.pos, d, throughput, vc, vcm, alive,
             jnp.ones((b,), jnp.float32), jnp.int32(0))
     depths = jnp.arange(1, l + 1)
-    (carry, (slots, pix, rgb)) = jax.lax.scan(step, init, depths)
+    (carry, (slots, pix, rgb, t1_ok)) = jax.lax.scan(step, init, depths)
+    if defer_t1:
+        return slots, pix, rgb, carry[-1], t1_ok
     return slots, pix, rgb, carry[-1]
 
 
@@ -507,7 +537,7 @@ def _connect_vertices(scene, lv_p, lv_frame, lv_wo, lv_thr, lv_vcm, lv_vc,
 
 def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
                      slots: LightVertexSlots, n_light=None,
-                     collect=False):
+                     collect=False, defer_connect=False):
     """Eye walk (reference: bdpt.h:46-155).
 
     slots: per-pixel light-vertex slots for the in-walk s>=2 connections
@@ -516,13 +546,27 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
     pool size).  collect: additionally return the eye-vertex slots
     (L, B, ...) for external connection phases.
 
+    defer_connect: NO connection traces happen in the walk at all — NEE
+    shading/MIS still runs per depth (same RNG streams), but its
+    occlusion segments are returned for the caller's mega-connect batch,
+    and the s>=2 phase is skipped entirely (the caller owns it, pairing
+    the collected eye slots against the light slots).  Implies collect.
+    Returns (li_s0 (B,3), ray_count, eye_slots,
+    (nee_li (L,B,3), nee_ok (L,B), nee_end (L,B,3))).
+
     Returns (Li (B,3), ray_count) — plus eye slots when collect."""
     b = primary_d.shape[0]
     l = cfg.n_steps
     li = jnp.zeros((b, 3), jnp.float32)
+    if defer_connect:
+        collect = True
     if n_light is None:
         n_light = float(cfg.width * cfg.height)
     if l == 0:
+        if defer_connect:
+            zero3 = jnp.zeros((0, b, 3), jnp.float32)
+            return li, jnp.int32(0), None, (
+                zero3, jnp.zeros((0, b), bool), zero3)
         if collect:
             return li, jnp.int32(0), None
         return li, jnp.int32(0)
@@ -552,7 +596,7 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
     lv = None
     perm = inv_perm = None
     if (cfg.mode == "bdpt" and cfg.connect_s2 and l > 0
-            and slots is not None):
+            and slots is not None and not defer_connect):
         from ..scene.textures import albedo_at
 
         lb = l * b
@@ -685,7 +729,7 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
                 tile_eye(vc), tile_eye(rr_prob), tile_eye(connectable),
             )
 
-        if nee_li is not None or c_li is not None:
+        if not defer_connect and (nee_li is not None or c_li is not None):
             starts, ends, oks = [], [], []
             if nee_li is not None:
                 starts.append(it.p)
@@ -729,6 +773,12 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
                 mat_id=it.mat_id, tri=it.tri, u=it.u, v=it.v,
                 valid=connectable,
             )
+        if defer_connect:
+            if nee_li is None:  # connect_s1 ablation: empty NEE rows
+                nee_li = jnp.zeros((b, 3), jnp.float32)
+                nee_ok = jnp.zeros((b,), bool)
+                nee_end = jnp.zeros((b, 3), jnp.float32)
+            ys = (ys, (nee_li, nee_ok, nee_end))
         return (o2, d2, thr2, vc2, vcm2, alive2, rr_prob, pure_spec, li,
                 nrays), ys
 
@@ -736,9 +786,12 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
             jnp.ones((b,), bool), jnp.ones((b,), jnp.float32),
             jnp.ones((b,), bool), li, jnp.int32(0))
     depths = jnp.arange(1, l + 1)
-    carry, eye_slots = jax.lax.scan(step, init, depths)
+    carry, ys = jax.lax.scan(step, init, depths)
+    if defer_connect:
+        eye_slots, nee_pack = ys
+        return carry[-2], carry[-1], eye_slots, nee_pack
     if collect:
-        return carry[-2], carry[-1], eye_slots
+        return carry[-2], carry[-1], ys
     return carry[-2], carry[-1]
 
 
@@ -768,6 +821,33 @@ def render_sample(scene: SceneData, cam_consts, cfg: BDPTConfig, key,
     primary_hit = trace_closest(scene, o, d, cfg.near, cfg.far)
     primary_alive = primary_hit.valid
     nrays = jnp.int32(b)
+
+    # Mega-connect path (default on bdpt mode): ALL connection segments
+    # of the sample resolve in ONE compacted any-hit launch (see
+    # _mega_connect).  Falls back to the per-depth launches when the
+    # pair grid would exceed the lane budget (deep RR walks) or when
+    # disabled for A/B (BPT_MEGA=0).
+    l = cfg.n_steps
+    if (cfg.mode == "bdpt" and l > 0 and _MEGA
+            and (l * l + 2 * l) * b <= _MEGA_MAX_LANES):
+        slots, t1_pix, t1_rgb, nr_l, t1_ok = light_subpath_walk(
+            scene, cam_consts, cfg, lkeys, b, primary_alive,
+            defer_t1=True)
+        nrays = nrays + nr_l
+        li, nr_e, eye_slots, (nee_li, nee_ok, nee_end) = eye_subpath_walk(
+            scene, cam_consts, cfg, lkeys, d, None, defer_connect=True)
+        nrays = nrays + nr_e
+        li_c, splat_pix_f, splat_rgb_f, nr_c = _mega_connect(
+            scene, cam_consts, cfg, eye_slots, slots,
+            nee_li, nee_ok, nee_end, t1_pix, t1_rgb,
+            t1_ok if cfg.connect_t1 else None)
+        nrays = nrays + nr_c
+        li = jnp.where(primary_alive[..., None], li + li_c, 0.0)
+
+        fb = jnp.zeros((w * h + 1, 3), jnp.float32)
+        fb = fb.at[pixel_idx].add(li / cfg.spp)
+        fb = fb.at[splat_pix_f].add(splat_rgb_f)
+        return fb[: w * h], nrays
 
     if cfg.mode in ("bdpt", "light_trace"):
         slots, splat_pix, splat_rgb, nr_l = light_subpath_walk(
@@ -806,6 +886,136 @@ def render_sample(scene: SceneData, cam_consts, cfg: BDPTConfig, key,
         fb = fb.at[splat_pix.reshape(-1)].add(
             splat_rgb.reshape(-1, 3))
     return fb[: w * h], nrays
+
+
+def _mega_connect(scene, cam_consts, cfg: BDPTConfig,
+                  eye_slots: LightVertexSlots,
+                  light_slots: LightVertexSlots,
+                  nee_li, nee_ok, nee_end, t1_pix, t1_rgb, t1_ok):
+    """Resolve EVERY connection segment of one sample in ONE compacted
+    visibility launch: s=1 NEE (L*B), t=1 camera splats (L*B), and the
+    full s>=2 all-pairs grid (L*L*B per-pixel eye-depth x light-slot
+    pairs, the reference's nested loop bdpt.h:145-149).
+
+    The walks run with visibility deferred (eye_subpath_walk
+    defer_connect / light_subpath_walk defer_t1), so the whole sample
+    does exactly ONE any-hit launch over ~L(L+2)B lanes.  The global
+    sort-payload compaction (ops/compaction.py) packs the live ~15-30%
+    to the front; the sweep kernel's all-dead early-exit skips the
+    trailing tiles, so the launch pays one fixed cost + the live work —
+    instead of 3L launches each over mostly-dead lanes.
+
+    Pair lanes are built by BROADCAST (dense writes), never gather:
+    eye arrays repeat along the light-slot axis, light arrays along the
+    eye-depth axis — TPU random gather sustains <1 GB/s, broadcasts run
+    at HBM write bandwidth.
+
+    Returns (li_connect (B,3), splat_pix (L*B,), splat_rgb (L*B,3),
+    n_vis_rays)."""
+    from ..scene.textures import albedo_at
+
+    l, b = eye_slots.valid.shape
+    lb = l * b
+    cam_o = cam_consts["o"]
+
+    starts, ends, oks = [], [], []
+    n_nee = n_t1 = n_pair = 0
+
+    if cfg.connect_s1:
+        starts.append(eye_slots.p.reshape(lb, 3))
+        ends.append(nee_end.reshape(lb, 3))
+        oks.append(nee_ok.reshape(lb))
+        n_nee = lb
+    if cfg.connect_t1 and t1_ok is not None:
+        starts.append(jnp.broadcast_to(cam_o, (lb, 3)))
+        ends.append(light_slots.p.reshape(lb, 3))
+        oks.append(t1_ok.reshape(lb))
+        n_t1 = lb
+
+    c_li = None
+    if cfg.connect_s2:
+        llb = l * l * b
+
+        def eye_pair(a):   # (L, B, ...) -> (L_t, L_s, B, ...) flat
+            return jnp.broadcast_to(
+                a[:, None], (l, l, b) + a.shape[2:]).reshape(
+                    (llb,) + a.shape[2:])
+
+        def light_pair(a):  # (L, B, ...) -> repeat along the t axis
+            return jnp.broadcast_to(
+                a[None], (l, l, b) + a.shape[2:]).reshape(
+                    (llb,) + a.shape[2:])
+
+        lv_kd = albedo_at(scene, light_slots.tri.reshape(lb),
+                          light_slots.u.reshape(lb),
+                          light_slots.v.reshape(lb))
+        lv_lane = bsdf.gather_lane(
+            scene.mat, light_slots.mat_id.reshape(lb), lv_kd)
+        lv_lane = jax.tree_util.tree_map(
+            lambda a: light_pair(a.reshape((l, b) + a.shape[1:])),
+            lv_lane)
+        lv_frame = light_pair(make_frame(light_slots.ns))
+
+        eye_kd = albedo_at(scene, eye_slots.tri.reshape(lb),
+                           eye_slots.u.reshape(lb),
+                           eye_slots.v.reshape(lb))
+        eye_lane = bsdf.gather_lane(
+            scene.mat, eye_slots.mat_id.reshape(lb), eye_kd)
+        eye_lane = jax.tree_util.tree_map(
+            lambda a: eye_pair(a.reshape((l, b) + a.shape[1:])),
+            eye_lane)
+        eye_frame = eye_pair(make_frame(eye_slots.ns))
+
+        eye_p = eye_pair(eye_slots.p)
+        lv_p = light_pair(light_slots.p)
+        c_li, c_ok = _connect_vertices(
+            scene,
+            lv_p, lv_frame, light_pair(light_slots.wo),
+            light_pair(light_slots.throughput),
+            light_pair(light_slots.vcm), light_pair(light_slots.vc),
+            light_pair(light_slots.rr), lv_lane,
+            light_pair(light_slots.valid),
+            eye_p, eye_frame, eye_pair(eye_slots.wo), eye_lane,
+            eye_pair(eye_slots.throughput), eye_pair(eye_slots.vcm),
+            eye_pair(eye_slots.vc), eye_pair(eye_slots.rr),
+            eye_pair(eye_slots.valid),
+        )
+        starts.append(eye_p)
+        ends.append(lv_p)
+        oks.append(c_ok)
+        n_pair = llb
+
+    li = jnp.zeros((b, 3), jnp.float32)
+    if t1_ok is None:
+        t1_pix = jnp.full((lb,), cfg.width * cfg.height, jnp.int32)
+        t1_rgb = jnp.zeros((lb, 3), jnp.float32)
+    else:
+        t1_pix = t1_pix.reshape(lb)
+        t1_rgb = t1_rgb.reshape(lb, 3)
+    if not starts:
+        return li, t1_pix, t1_rgb, jnp.int32(0)
+
+    ok_all = jnp.concatenate(oks)
+    occ = _visible(scene, jnp.concatenate(starts), jnp.concatenate(ends),
+                   needed=ok_all, trace_vis=cfg.trace_vis)
+    vis = ~occ
+    nrays = jnp.sum(ok_all) if cfg.trace_vis else jnp.int32(0)
+
+    off = 0
+    if n_nee:
+        v = vis[:n_nee].reshape(l, b)
+        li = li + jnp.sum(
+            jnp.where(v[..., None], nee_li, 0.0), axis=0)
+        off = n_nee
+    if n_t1:
+        ok2 = t1_ok.reshape(lb) & vis[off:off + n_t1]
+        t1_pix = jnp.where(ok2, t1_pix, cfg.width * cfg.height)
+        t1_rgb = jnp.where(ok2[..., None], t1_rgb, 0.0)
+        off += n_t1
+    if n_pair:
+        c = jnp.where(vis[off:, None], c_li, 0.0)
+        li = li + jnp.sum(c.reshape(l, l, b, 3), axis=(0, 1))
+    return li, t1_pix, t1_rgb, nrays
 
 
 def connect_pool(scene, cfg: BDPTConfig, eye_slots: LightVertexSlots,

@@ -41,6 +41,29 @@ def test_tiny_render_all_modes():
         assert int(nrays) > 0
 
 
+def test_mega_connect_matches_per_depth(monkeypatch):
+    """The mega-connect batch (one compacted launch per sample) is a
+    TRACE-BATCHING change only: identical RNG, identical segments —
+    images must match the per-depth path to float-reassociation
+    tolerance."""
+    from bpt_tpu.integrators import bdpt as bd
+    from bpt_tpu.scene.procedural import cornell_box_scene
+
+    w = h = 12
+    scene, meta, cam = cornell_box_scene(w, h)
+    cfg = bd.BDPTConfig(w, h, spp=2, rr_depth=4)
+    imgs = {}
+    for mega in (True, False):
+        monkeypatch.setattr(bd, "_MEGA", mega)
+        bd.render_chunk.clear_cache()
+        img, nr = bd.render_image(scene, cam, cfg, seed=3, spp_chunk=2)
+        imgs[mega] = (np.asarray(img), int(nr))
+    bd.render_chunk.clear_cache()
+    np.testing.assert_allclose(imgs[True][0], imgs[False][0], rtol=2e-5,
+                               atol=1e-6)
+    assert imgs[True][1] == imgs[False][1]  # same rays traced
+
+
 def test_tiny_render_connect_layouts(monkeypatch):
     """All BPT_CONNECT_LAYOUT variants must agree (layout-only)."""
     from bpt_tpu.integrators import bdpt as bd
