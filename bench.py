@@ -86,18 +86,30 @@ def _load_scene():
     return scene, cam, label
 
 
-def _timed_chunk(render_chunk, scene, cam_consts, cfg, key, spp):
-    """Compile (warmup at the SAME scan length), then time one chunk.
+N_REPS = int(os.environ.get("BPT_BENCH_REPS", "3"))
+
+
+def _timed_chunk(render_chunk, scene, cam_consts, cfg, key, spp,
+                 reps=N_REPS):
+    """Compile (warmup at the SAME scan length), then time `reps` chunks
+    and report the MEDIAN wall time (+ min/max for the spread bar —
+    VERDICT r4 weak #2: a single timed chunk made round-over-round
+    deltas untrustworthy at +/-10%).
 
     NOTE: timings must end with a host fetch; on the axon relay backend
     block_until_ready only confirms enqueue."""
     fb, nr = render_chunk(scene, cam_consts, cfg, key, spp)
     float(fb.sum())
-    t0 = time.time()
-    fb, nrays = render_chunk(scene, cam_consts, cfg, key, spp)
-    nrays = int(nrays)
-    _ = float(fb.sum())
-    return time.time() - t0, nrays
+    times = []
+    nrays = 0
+    for _ in range(reps):
+        t0 = time.time()
+        fb, nr = render_chunk(scene, cam_consts, cfg, key, spp)
+        nrays = int(nr)
+        _ = float(fb.sum())
+        times.append(time.time() - t0)
+    times.sort()
+    return times[len(times) // 2], nrays, times[0], times[-1]
 
 
 def _sharded_detail(scene, cam, cfg, mesh_spec):
@@ -145,7 +157,8 @@ def main():
     cam_consts = cam.device_constants()
     key = jax.random.key(7)
 
-    dt, nrays = _timed_chunk(render_chunk, scene, cam_consts, cfg, key, SPP)
+    dt, nrays, dt_min, dt_max = _timed_chunk(
+        render_chunk, scene, cam_consts, cfg, key, SPP)
 
     # Telescoping stage attribution: disable one phase at a time; each
     # stage cost is the delta between two otherwise-identical pipelines,
@@ -159,8 +172,8 @@ def main():
                        connect_t1=False)),
     ):
         cfg_a = dataclasses.replace(cfg, **kw)
-        t_a, _ = _timed_chunk(render_chunk, scene, cam_consts, cfg_a, key,
-                              SPP)
+        t_a, _, _, _ = _timed_chunk(render_chunk, scene, cam_consts,
+                                    cfg_a, key, SPP)
         times[name] = t_a
     stages = {
         "all_pairs_connect_s": round(times["full"] - times["no_s2"], 3),
@@ -175,12 +188,16 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        "spread_pct": round(100.0 * (dt_max - dt_min) / dt, 1),
         "detail": {
             "scene": label,
             "resolution": f"{WIDTH}x{HEIGHT}",
             "spp_timed": SPP,
             "rr_depth": RR_DEPTH,
+            "reps": N_REPS,
             "wall_s": round(dt, 3),
+            "wall_s_min": round(dt_min, 3),
+            "wall_s_max": round(dt_max, 3),
             "rays": int(nrays),
             "device": str(jax.devices()[0]),
             "pixel_samples_per_sec": round(WIDTH * HEIGHT * SPP / dt, 1),

@@ -41,7 +41,7 @@ if os.environ.get("JAX_PLATFORMS", "") == "cpu":
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def main():
@@ -93,7 +93,7 @@ def main():
     def render_target(params, key):
         fn = partial(
             shard_map, mesh=mesh, in_specs=(P(), P("dp"), P()),
-            out_specs=P(), check_rep=False)(shard_fb)
+            out_specs=P(), check_vma=False)(shard_fb)
         return fn(params, pix_all, key)
 
     t0 = time.time()
@@ -113,7 +113,7 @@ def main():
     @jax.jit
     def train_step(params, opt, key, it):
         @partial(shard_map, mesh=mesh, in_specs=(P(), P("dp"), P()),
-                 out_specs=(P(), P()), check_rep=False)
+                 out_specs=(P(), P()), check_vma=False)
         def sharded_grad(params, pix, key):
             loss, grads = jax.value_and_grad(shard_loss)(params, pix, key)
             grads = jax.tree_util.tree_map(
@@ -154,7 +154,7 @@ def main():
     @jax.jit
     def psum_only(params):
         @partial(shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(),
-                 check_rep=False)
+                 check_vma=False)
         def f(p):
             return jax.tree_util.tree_map(
                 lambda g: jax.lax.psum(g, ("dp", "sp")), p)

@@ -92,14 +92,21 @@ class FlyCamera:
     # --- per-frame integration (camera.h:46-74) -----------------------
     def update(self) -> bool:
         """Advance one frame; returns True when the pose changed (the
-        frame loop resets progressive accumulation on motion)."""
+        frame loop resets progressive accumulation on motion).
+
+        Rotation order matches the reference exactly: the composed
+        quaternion is pitch_quat * heading_quat (camera.h:57), i.e. the
+        HEADING rotation applies first, then the pitch — with the pitch
+        axis cross(direction, up) computed from the PRE-rotation
+        direction (camera.h:51)."""
         moved = (abs(self._pitch) > 1e-9 or abs(self._heading) > 1e-9
                  or float(np.linalg.norm(self._delta)) > 1e-9)
         d = self.direction
-        if abs(self._pitch) > 1e-9:
-            d = _rotate(np.cross(d, self.up), np.radians(self._pitch), d)
+        pitch_axis = np.cross(d, self.up)
         if abs(self._heading) > 1e-9:
             d = _rotate(self.up, np.radians(self._heading), d)
+        if abs(self._pitch) > 1e-9:
+            d = _rotate(pitch_axis, np.radians(self._pitch), d)
         self.direction = _normalize(d)
         self.position = self.position + self._delta
         self._heading *= _ANGLE_DAMP

@@ -91,6 +91,12 @@ def uncompact_many(xs_c, plan: CompactPlan, fills):
     sort each).  Bool arrays round-trip through int32."""
     cols, dtypes = [], []
     for x in xs_c:
+        # lax.sort sorts multi-dim payloads along the LAST axis (default
+        # dimension=-1), which would silently scramble (B, k) rows; all
+        # callers pass (B,) columns — fail loudly if that changes.
+        assert x.ndim == 1, (
+            f"uncompact_many needs (B,) columns, got shape {x.shape}; "
+            "split multi-dim payloads into per-component columns")
         dtypes.append(x.dtype)
         cols.append(x.astype(jnp.int32) if x.dtype == jnp.bool_ else x)
     outs = _restore(plan, cols)

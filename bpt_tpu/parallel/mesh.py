@@ -22,7 +22,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.4.35 stable API; the experimental path is deprecated
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..integrators.bdpt import (
     BDPTConfig,
@@ -113,7 +117,7 @@ def render_chunk_sharded(scene: SceneData, cam_consts, cfg: BDPTConfig,
         mesh=mesh,
         in_specs=(P("dp"),),
         out_specs=(fb_spec, P()),
-        check_rep=False,
+        check_vma=False,
     )
     def shard_fn(pix):
         sp_i = jax.lax.axis_index("sp")
@@ -191,7 +195,7 @@ def render_chunk_pool_ring(scene: SceneData, cam_consts, cfg: BDPTConfig,
         mesh=mesh,
         in_specs=(P("dp"), P("dp")),
         out_specs=(fb_spec, P()),
-        check_rep=False,
+        check_vma=False,
     )
     def shard_fn(pix, pids):
         sp_i = jax.lax.axis_index("sp")

@@ -54,6 +54,29 @@ def test_pitch_clamp_and_rotation():
     np.testing.assert_allclose(ang2, 7.5, atol=1e-6)
 
 
+def test_combined_rotation_order_matches_reference():
+    """glm composes pitch_quat * heading_quat (camera.h:57): heading
+    applies FIRST, then pitch about the pre-rotation cross(dir, up)
+    axis.  The rotations don't commute, so the order is observable."""
+    from bpt_tpu.core.flycam import _rotate
+
+    c = _cam()
+    d0 = c.direction.copy()
+    up = c.up.copy()
+    c.pitch(5.0)
+    c.heading(4.0)
+    c.update()
+    expect = _rotate(np.cross(d0, up), np.radians(5.0),
+                     _rotate(up, np.radians(4.0), d0))
+    expect = expect / np.linalg.norm(expect)
+    np.testing.assert_allclose(c.direction, expect, atol=1e-12)
+    # and the wrong order (pitch first) would NOT match
+    wrong = _rotate(up, np.radians(4.0),
+                    _rotate(np.cross(d0, up), np.radians(5.0), d0))
+    wrong = wrong / np.linalg.norm(wrong)
+    assert not np.allclose(c.direction, wrong, atol=1e-9)
+
+
 def test_heading_preserves_up_component():
     c = _cam()
     c.heading(4.0)

@@ -65,10 +65,16 @@ def test_mega_connect_matches_per_depth(monkeypatch):
 
 
 def test_tiny_render_connect_layouts(monkeypatch):
-    """All BPT_CONNECT_LAYOUT variants must agree (layout-only)."""
+    """All BPT_CONNECT_LAYOUT variants must agree (layout-only).
+
+    _MEGA is forced off: the mega-connect path never reads
+    _CONNECT_LAYOUT, so without this the three 'variants' would all
+    render the identical mega path and the per-depth layout code (the
+    r3 NameError regression site) would have no coverage."""
     from bpt_tpu.integrators import bdpt as bd
     from bpt_tpu.scene.procedural import cornell_box_scene
 
+    monkeypatch.setattr(bd, "_MEGA", False)
     w = h = 8
     scene, meta, cam = cornell_box_scene(w, h)
     cfg = bd.BDPTConfig(w, h, spp=2, rr_depth=3)
