@@ -5,12 +5,17 @@
 
 PY ?= python
 
-.PHONY: check quick test bench dryrun
+.PHONY: check quick test bench dryrun onchip
 
-check: test bench dryrun
+check: test onchip bench dryrun
 
 test:
 	$(PY) -m pytest tests/ -x -q
+
+# Compiled-Pallas-vs-XLA correctness on the real chip (VERDICT r4 item
+# 4); SKIPs cleanly when no TPU is attached.
+onchip:
+	timeout 1200 $(PY) tests/onchip_check.py
 
 quick:
 	JAX_PLATFORMS=cpu $(PY) -m pytest tests/test_smoke.py -x -q

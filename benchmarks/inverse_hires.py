@@ -50,7 +50,14 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--spp", type=int, default=2)
     ap.add_argument("--lr", type=float, default=0.2)
+    ap.add_argument("--recover", action="store_true",
+                    help="full parameter-recovery run: optimize to "
+                    "convergence, report param-space error + PSNR "
+                    "(BASELINE #5 'recover albedo + emission'; VERDICT "
+                    "r4 item 7 wants error <5%%)")
     args = ap.parse_args()
+    if args.recover and args.iters <= 4:
+        args.iters = 150
 
     from bpt_tpu.diff.grad import apply_params, extract_params
     from bpt_tpu.integrators.bdpt import BDPTConfig, render_sample
@@ -101,9 +108,19 @@ def main():
     target.block_until_ready()
     t_target = time.time() - t0
 
-    # Perturbed start: gray albedo, dimmed emitter.
+    # Perturbed start: gray albedo (recoverable materials only — delta
+    # BSDFs never read Kd, so their entries carry no gradient and are
+    # excluded from both the perturbation and the error metric),
+    # dimmed emitter.
+    from bpt_tpu.bsdf import bsdf as bsdf_mod
+
+    kind = np.asarray(scene.mat.kind)
+    recoverable = ~((kind == bsdf_mod.MIRROR) | (kind == bsdf_mod.GLASS))
+    emissive = np.asarray(true_params["emission"]).max(axis=-1) > 0.0
+    rec_mask = jnp.asarray(recoverable)[:, None]
     params = dict(true_params)
-    params["diffuse"] = jnp.full_like(true_params["diffuse"], 0.5)
+    params["diffuse"] = jnp.where(
+        rec_mask, 0.5, true_params["diffuse"])
     params["emission"] = true_params["emission"] * 0.3
 
     def shard_loss(params, pix, key):
@@ -170,12 +187,16 @@ def main():
     t_psum = (time.time() - t0) / n_rep
 
     step_s = float(np.median(step_times[1:] or step_times))
+    losses_out = ([round(x, 6) for x in losses] if len(losses) <= 12 else
+                  [round(x, 6) for x in
+                   losses[:2] + losses[::len(losses) // 8][1:] +
+                   losses[-2:]])
     report = {
         "which": "inverse_hires (BASELINE config #5) + allreduce waiver",
         "resolution": f"{w}x{h}", "mesh": f"{n_dp}x{n_sp}",
         "device": str(devs[0]), "spp": cfg.spp, "iters": args.iters,
         "target_render_s": round(t_target, 2),
-        "losses": [round(x, 6) for x in losses],
+        "losses": losses_out,
         "loss_decreased": bool(losses[-1] < losses[0]),
         "step_s_median": round(step_s, 2),
         "grad_param_bytes": grad_bytes,
@@ -183,6 +204,44 @@ def main():
         "psum_frac_of_step": round(t_psum / step_s, 8),
     }
     assert report["loss_decreased"], report
+
+    if args.recover:
+        # ---- recovered-vs-true parameter error (VERDICT r4 item 7) ----
+        def rel_err(rec, true, mask):
+            rec = np.asarray(rec)[mask]
+            true = np.asarray(true)[mask]
+            e = np.abs(rec - true) / np.maximum(np.abs(true), 0.05)
+            return float(e.mean()), float(e.max())
+
+        kd_mean, kd_max = rel_err(params["diffuse"],
+                                  true_params["diffuse"], recoverable)
+        ke_mean, ke_max = rel_err(params["emission"],
+                                  true_params["emission"], emissive)
+        # PSNR of the recovered render vs the target (fresh key = held-
+        # out noise realization; peak = target max).
+        final = render_target(params, jax.random.key(321))
+        tgt = np.asarray(target)
+        mse = float(np.mean((np.asarray(final) - tgt) ** 2))
+        psnr = 10.0 * np.log10(max(tgt.max(), 1e-9) ** 2 / max(mse, 1e-12))
+        # Start-point PSNR for the improvement delta.
+        params0 = dict(true_params)
+        params0["diffuse"] = jnp.where(rec_mask, 0.5,
+                                       true_params["diffuse"])
+        params0["emission"] = true_params["emission"] * 0.3
+        start = render_target(params0, jax.random.key(321))
+        mse0 = float(np.mean((np.asarray(start) - tgt) ** 2))
+        psnr0 = 10.0 * np.log10(
+            max(tgt.max(), 1e-9) ** 2 / max(mse0, 1e-12))
+        report["recovery"] = {
+            "diffuse_rel_err_mean": round(kd_mean, 4),
+            "diffuse_rel_err_max": round(kd_max, 4),
+            "emission_rel_err_mean": round(ke_mean, 4),
+            "emission_rel_err_max": round(ke_max, 4),
+            "psnr_start_db": round(psnr0, 2),
+            "psnr_recovered_db": round(psnr, 2),
+            "recoverable_materials": int(recoverable.sum()),
+            "emissive_materials": int(emissive.sum()),
+        }
     print(json.dumps(report, indent=1))
 
 

@@ -126,16 +126,32 @@ def _phong_like_eval(lane, wo, wi):
 
 
 def _phong_pdf(lane, wo, wi):
-    """Phong-lobe pdf of wi around reflect(wo) (reference: phong.h:78-88)."""
-    refl = reflect_local(wo)
-    frame = make_frame(refl)
-    local = frame_to_local(frame, wi)
-    return warp.square_to_phong_lobe_pdf(local, lane.shininess)
+    """Phong-lobe pdf of wi around reflect(wo) (reference: phong.h:78-88).
+
+    The reference transforms wi into a frame around reflect(wo) and reads
+    the z component — which is exactly dot(wi, reflect(wo)), so the frame
+    construction is skipped (measured hotspot at all-pairs width: the
+    old make_frame + frame_to_local pair ran 8x per connect pair).
+
+    This dot is SYMMETRIC in (wo, wi): reflect about +z negates x,y, so
+    dot(reflect(a), b) == dot(a, reflect(b)) — the phong-lobe density of
+    the forward and reverse directions is the same number, which
+    eval_pdfs_lane exploits."""
+    cos_a = jnp.sum(wi * reflect_local(wo), axis=-1)
+    n = lane.shininess
+    return jnp.where(
+        cos_a >= 0.0,
+        (n + 2.0) * INV_TWOPI * jnp.power(jnp.maximum(cos_a, 0.0), n),
+        0.0,
+    )
 
 
-def _mixture_pdf(lane, wo, wi):
-    """(reference: mixture.h:78-100)"""
-    p_phong = _phong_pdf(lane, wo, wi)
+def _mixture_pdf(lane, wo, wi, p_phong=None):
+    """(reference: mixture.h:78-100).  p_phong: optional precomputed
+    phong-lobe pdf (callers that also need it for the PHONG kind pass it
+    in so the transcendental runs once)."""
+    if p_phong is None:
+        p_phong = _phong_pdf(lane, wo, wi)
     p_diff = warp.square_to_cosine_hemisphere_pdf(wi)
     w = lane.spec_weight
     return p_phong * w + p_diff * (1.0 - w)
@@ -162,12 +178,61 @@ def pdf_lane(lane: LaneMaterial, wo, wi):
     BSDFs (reference: perfectmirror.h:41-46, glass.h:61-65)."""
     d = warp.square_to_cosine_hemisphere_pdf(wi)
     ph = _phong_pdf(lane, wo, wi)
-    mx = _mixture_pdf(lane, wo, wi)
+    mx = _mixture_pdf(lane, wo, wi, p_phong=ph)
     k = lane.kind
     out = jnp.where(k == DIFFUSE, d, 0.0)
     out = jnp.where(k == PHONG, ph, out)
     out = jnp.where(k == MIXTURE, mx, out)
     return out
+
+
+def eval_pdfs_lane(lane: LaneMaterial, wo, wi):
+    """Fused eval + forward pdf + reverse pdf for one direction pair:
+    returns (f*cos (B,3), pdf(wo->wi) (B,), pdf(wi->wo) (B,)), equal to
+    (eval_lane(lane, wo, wi), pdf_lane(lane, wo, wi),
+    pdf_lane(lane, wi, wo)).
+
+    A BDPT connection needs all three per vertex (reference:
+    bdpt.h:455-472 evaluates f once and four reverse pdfs per pair);
+    the fused form computes the shared phong-lobe power — symmetric in
+    (wo, wi), see _phong_pdf — ONCE, where the separate calls ran ten
+    transcendentals and eight frame constructions per pair.  This is
+    the all-pairs connect phase's shading kernel (measured ~45% of the
+    stage's wall time before fusion, benchmarks/prof_connect.py)."""
+    k = lane.kind
+    woz = wo[..., 2]
+    wiz = wi[..., 2]
+    gate = (wiz >= 0.0) & (woz >= 0.0)
+    cos_a = jnp.sum(wi * reflect_local(wo), axis=-1)   # symmetric
+    n = lane.shininess
+    # One transcendental, two gating conventions: eval uses the ungated
+    # clipped power (_phong_like_eval), the pdf gates on cos >= 0
+    # (warp.square_to_phong_lobe_pdf) — they differ only at n == 0.
+    lobe = (n + 2.0) * INV_TWOPI * jnp.power(
+        jnp.clip(cos_a, 0.0, 1.0), n)
+    p_phong = jnp.where(cos_a >= 0.0, lobe, 0.0)
+
+    # eval: diffuse + phong-like share the lobe factor with the pdfs.
+    d_val = lane.kd * INV_PI * wi[..., 2:3]
+    spec = lane.ks * lobe[..., None]
+    p_val = (lane.kd * INV_PI + spec) * (lane.scale * wiz)[..., None]
+    k3 = k[..., None]
+    f = jnp.where(k3 == DIFFUSE, d_val, 0.0)
+    f = jnp.where((k3 == PHONG) | (k3 == MIXTURE), p_val, f)
+    f = jnp.where(gate[..., None], f, 0.0)
+
+    d_fwd = warp.square_to_cosine_hemisphere_pdf(wi)
+    d_rev = warp.square_to_cosine_hemisphere_pdf(wo)
+    w = lane.spec_weight
+
+    def pick(d_pdf):
+        out = jnp.where(k == DIFFUSE, d_pdf, 0.0)
+        out = jnp.where(k == PHONG, p_phong, out)
+        out = jnp.where(
+            k == MIXTURE, p_phong * w + d_pdf * (1.0 - w), out)
+        return out
+
+    return f, pick(d_fwd), pick(d_rev)
 
 
 def eval_bsdf(mat: MaterialTable, mid, wo, wi, kd_override=None):

@@ -54,8 +54,12 @@ import os
 # Swept on the real caustic bench (v5e, r2): 128 beat 256 by 9% and 512
 # by 22%; 64 compiled pathologically slowly.  J=4 and J=8 tied.
 TILE = int(os.environ.get("BPT_SWEEP_TILE", "128"))
-# treelet blocks fetched per any-kernel loop iteration
-ANY_J = int(os.environ.get("BPT_SWEEP_ANY_J", "4"))
+# treelet blocks fetched per any-kernel loop iteration.  r5 A/B on the
+# caustic bench (v5e): J=8 5.29M > J=4 5.12M rays/s (the loop is
+# iteration-overhead-bound; J=16 and tile=256 were also measured — see
+# RESULTS_r05.md).  Any-table K stayed 128: K=64 lost 7% (2x the
+# argmax/fetch overhead), K=32 lost 2x.
+ANY_J = int(os.environ.get("BPT_SWEEP_ANY_J", "8"))
 # treelet blocks fetched per closest-kernel loop iteration.  J=1: J>1
 # compiles pathologically slowly on Mosaic (>9min) and this kernel lost
 # the in-render closest A/B to the one-hot kernel anyway (unrouted).
@@ -150,39 +154,54 @@ def _any_loop(bmin_ref, bmax_ref, blk_ref, o, d, mnt, mxt, dead, occ0,
               nt, k):
     """Union sweep over one resident table (NT treelets): returns the
     (S, 1) occlusion flags, starting from occ0 (non-zero entries are
-    already-settled lanes — they are excluded from the union)."""
+    already-settled lanes — they are excluded from the union).
+
+    The tile union is RECOMPUTED from the still-open lanes every
+    iteration (r5): a lane settles the moment it is occluded, and its
+    treelets leave the union immediately — the r4 version froze the
+    union at entry, so one early-occluded lane's long overlap list kept
+    the whole tile sweeping.  Correctness is unaffected: a true in-range
+    hit implies slab overlap, so treelets overlapping only settled lanes
+    can never change an open lane's result.  The per-iteration masked
+    column-max costs ~S*NT flops vs the fetch+MT's ~30*S*J*K — a few
+    percent — and cuts iterations wherever occlusion is common (shadow
+    rays in closed scenes)."""
     s = o[0].shape[0]
     mask, _ = _slab(bmin_ref, bmax_ref, o, d, mnt, mxt, nt)
-    settled = jnp.maximum(dead, occ0)                          # (S, 1)
-    mask_f = mask.astype(jnp.float32) * (1.0 - settled)
-    um = jnp.max(mask_f, axis=0, keepdims=True)                # (1, NT)
+    mask_rem = (mask.astype(jnp.float32)
+                * (1.0 - jnp.maximum(dead, occ0)))             # (S, NT)
     iota_nt = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
 
     def cond(state):
-        return jnp.max(state[0]) > 0.0
+        mask_rem, occ = state
+        return jnp.max(mask_rem * (1.0 - occ)) > 0.0
 
     def body(state):
-        um, occ = state
+        mask_rem, occ = state
+        # Union over OPEN lanes only (not yet occluded, not dead).
+        um = jnp.max(mask_rem * (1.0 - occ), axis=0,
+                     keepdims=True)                            # (1, NT)
         # J treelets per iteration: divides loop-overhead-bound trips.
         # When fewer remain, duplicates point at already-cleared
         # entries; the extra tests are safe — any true in-range hit
         # implies AABB overlap, so they can only confirm occlusion.
         parts = []
         um_j = um
+        keep = jnp.ones((1, nt), jnp.float32)
         for _ in range(ANY_J):
             tau = jnp.argmax(um_j[0, :])
             parts.append(blk_ref[pl.ds(tau * 9, 9), :])
-            um_j = um_j * (iota_nt != tau)
+            sel = (iota_nt == tau).astype(jnp.float32)
+            um_j = um_j * (1.0 - sel)
+            keep = keep * (1.0 - sel)
         blk = jnp.concatenate(parts, axis=1)             # (9, J*K)
         ok, tt, _, _ = _mt_tile(blk, o, d, ANY_J * k)
         ok &= (tt >= mnt) & (tt <= mxt)
         hit = jnp.max(ok.astype(jnp.float32), axis=1, keepdims=True)
         occ = jnp.maximum(occ, hit)
-        done = jnp.min(jnp.maximum(occ, dead)) > 0.0  # lanes settled
-        um = jnp.where(done, 0.0, um_j)
-        return um, occ
+        return mask_rem * keep, occ
 
-    _, occ = jax.lax.while_loop(cond, body, (um, occ0))
+    _, occ = jax.lax.while_loop(cond, body, (mask_rem, occ0))
     return occ
 
 

@@ -227,7 +227,18 @@ def build_scene(obj: ObjData, tex_dir: str = "") -> tuple[SceneData, SceneMeta]:
                         e1.astype(np.float32), e2.astype(np.float32),
                         k=128)
     treelets = make_treelet_geom(tl)
-    treelets_any = treelets
+    # Any-hit table: BPT_ANY_K builds a separate treelet cut for the
+    # occlusion sweeps (smaller K = tighter boxes = fewer triangle tests
+    # per union entry, at more slab columns).  Default: share the
+    # closest-hit table.
+    any_k = int(os.environ.get("BPT_ANY_K", "128"))
+    if any_k != 128:
+        tl_any = build_treelets(bvh, v0r.astype(np.float32),
+                                e1.astype(np.float32),
+                                e2.astype(np.float32), k=any_k)
+        treelets_any = make_treelet_geom(tl_any)
+    else:
+        treelets_any = treelets
 
     geom = TraceGeom(
         v0=jnp.asarray(np.concatenate([v0r, pad3]).astype(np.float32)),

@@ -1,0 +1,119 @@
+"""On-chip correctness gate (VERDICT r4 item 4): compiled Pallas kernels
+vs the XLA reference tracer, ON THE REAL TPU.
+
+The pytest suite runs the Pallas kernels in interpret mode on CPU
+(tests/test_pallas.py etc.) — a Mosaic *lowering* bug would ship
+silently.  This script runs the compiled kernels on the real chip:
+
+  1. Pallas closest-hit + any-hit vs accel/traverse.py (the stackless
+     skip-link correctness reference, semantics of externals/bvh.h:
+     259-352) on thousands of random + coherent rays;
+  2. one 64x64 BDPT render with the Pallas trace route vs the XLA
+     binned route (BPT_PALLAS_TRACE=1 vs 0) — full-pipeline allclose.
+
+Exit 0 on pass or when no TPU is attached (prints SKIP); exit 1 on any
+divergence.  Wired into `make check` (runs between the CPU suite and
+the bench).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    dev = jax.devices()[0]
+    if "tpu" not in str(dev).lower() and jax.default_backend() == "cpu":
+        print(json.dumps({"onchip_check": "SKIP", "device": str(dev)}))
+        return 0
+
+    import jax.numpy as jnp
+
+    from bpt_tpu.accel import api, traverse
+    from bpt_tpu.scene.procedural import cornell_box_scene
+
+    w = h = 64
+    scene, meta, cam = cornell_box_scene(
+        w, h, right_object="glass_sphere", sphere_subdiv=3)
+
+    # ---- 1. kernel-level: compiled Pallas vs skip-link reference ----
+    key = jax.random.key(42)
+    k1, k2, k3 = jax.random.split(key, 3)
+    n = 4096
+    # Mixed workload: coherent camera-style rays + incoherent sphere rays
+    o_in = jnp.concatenate([
+        jnp.tile(jnp.asarray([[0.0, 1.0, 3.0]], jnp.float32), (n // 2, 1)),
+        jax.random.uniform(k1, (n // 2, 3), minval=-1.0, maxval=2.5),
+    ])
+    d_raw = jax.random.normal(k2, (n, 3))
+    d_in = d_raw / jnp.linalg.norm(d_raw, axis=-1, keepdims=True)
+    # ~25% degenerate lanes (dead-lane handling must match too)
+    dead = jax.random.uniform(k3, (n,)) < 0.25
+    max_t = jnp.where(dead, -1.0, jnp.inf)
+
+    fails = []
+
+    def check(name, a, b, **kw):
+        try:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), **kw)
+        except AssertionError as e:
+            fails.append((name, str(e).splitlines()[:6]))
+
+    hp = jax.jit(lambda o, d, mx: api.trace_closest(
+        scene, o, d, 1e-4, mx))(o_in, d_in, max_t)
+    hr = jax.jit(lambda o, d, mx: traverse.trace_closest(
+        scene.geom, o, d, 1e-4, mx))(o_in, d_in, max_t)
+    check("closest.valid", hp.valid, hr.valid)
+    m = np.asarray(hr.valid)
+    check("closest.t", np.asarray(hp.t)[m], np.asarray(hr.t)[m],
+          rtol=1e-5, atol=1e-6)
+    check("closest.tri", np.asarray(hp.tri)[m], np.asarray(hr.tri)[m])
+
+    # Any-hit over segment-style bounded rays
+    seg_t = jnp.where(dead, -1.0, 2.0)
+    ap_ = jax.jit(lambda o, d, mx: api.trace_any(
+        scene, o, d, 1e-4, mx))(o_in, d_in, seg_t)
+    ar = jax.jit(lambda o, d, mx: traverse.trace_any(
+        scene.geom, o, d, 1e-4, mx))(o_in, d_in, seg_t)
+    check("any.occluded", ap_, ar)
+
+    # ---- 2. pipeline-level: Pallas route vs XLA route, full BDPT ----
+    from bpt_tpu.integrators import bdpt as bd
+
+    cfg = bd.BDPTConfig(w, h, spp=4, rr_depth=5)
+    imgs = {}
+    for route in ("1", "0"):
+        api._PALLAS_ENV = route
+        bd.render_chunk.clear_cache()
+        img, nr = bd.render_image(scene, cam, cfg, seed=9, spp_chunk=4)
+        imgs[route] = (np.asarray(img), int(nr))
+    api._PALLAS_ENV = os.environ.get("BPT_PALLAS_TRACE", "")
+    bd.render_chunk.clear_cache()
+    check("bdpt.image", imgs["1"][0], imgs["0"][0], rtol=2e-4, atol=1e-5)
+    if imgs["1"][1] != imgs["0"][1]:
+        fails.append(("bdpt.nrays", [imgs["1"][1], imgs["0"][1]]))
+
+    if fails:
+        print(json.dumps({"onchip_check": "FAIL",
+                          "failures": [f[0] for f in fails]}))
+        for name, detail in fails:
+            print(f"--- {name} ---")
+            print("\n".join(str(d) for d in detail))
+        return 1
+    print(json.dumps({
+        "onchip_check": "PASS", "device": str(dev), "rays": n,
+        "bdpt_render": f"{w}x{h}@{cfg.spp}spp",
+        "routes": "pallas(compiled) == xla == skip-link reference"}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

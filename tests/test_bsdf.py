@@ -156,3 +156,32 @@ def test_phong_below_horizon_zero():
     vals = np.asarray(s.value)
     assert np.allclose(vals[below], 0.0)
     assert (np.asarray(s.pdf)[below] > 0).all()
+
+
+def test_eval_pdfs_lane_matches_separate_calls():
+    """The fused connect-shading path (eval_pdfs_lane) must equal the
+    separate eval_lane / pdf_lane(fwd) / pdf_lane(rev) calls for every
+    material kind and random direction pairs (including below-horizon)."""
+    mat = _table()
+    n = 4096
+    key = jax.random.key(11)
+    k1, k2 = jax.random.split(key)
+
+    def unit(k):
+        v = jax.random.normal(k, (n, 3))
+        return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+    wo = unit(k1)
+    wi = unit(k2)
+    mids = jnp.arange(n, dtype=jnp.int32) % 5
+    lane = bsdf.gather_lane(mat, mids)
+    f, p_fwd, p_rev = bsdf.eval_pdfs_lane(lane, wo, wi)
+    np.testing.assert_allclose(np.asarray(f),
+                               np.asarray(bsdf.eval_lane(lane, wo, wi)),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(p_fwd),
+                               np.asarray(bsdf.pdf_lane(lane, wo, wi)),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(p_rev),
+                               np.asarray(bsdf.pdf_lane(lane, wi, wo)),
+                               rtol=1e-5, atol=1e-7)

@@ -89,3 +89,28 @@ def test_tiny_render_connect_layouts(monkeypatch):
                                atol=1e-6)
     np.testing.assert_allclose(imgs["sort"], imgs["plain"], rtol=1e-5,
                                atol=1e-6)
+
+
+def test_chunked_mega_connect_matches_single_launch(monkeypatch):
+    """When the pair grid exceeds the lane budget, _mega_connect chunks
+    it over eye-depth rows (RR configs).  Chunking is launch-batching
+    only: same segments, same shading — images must match the
+    single-launch path to reassociation tolerance."""
+    from bpt_tpu.integrators import bdpt as bd
+    from bpt_tpu.scene.procedural import cornell_box_scene
+
+    w = h = 12
+    scene, meta, cam = cornell_box_scene(w, h)
+    # RR mode with a small bounce cap: l = max_bounces = 5
+    cfg = bd.BDPTConfig(w, h, spp=2, rr_depth=2, no_rr=False,
+                        max_bounces=5)
+    imgs = {}
+    for budget in (1 << 30, 2 * 5 * 12 * 12):  # single launch vs C=2 rows
+        monkeypatch.setattr(bd, "_MEGA_MAX_LANES", budget)
+        bd.render_chunk.clear_cache()
+        img, nr = bd.render_image(scene, cam, cfg, seed=5, spp_chunk=2)
+        imgs[budget] = (np.asarray(img), int(nr))
+    bd.render_chunk.clear_cache()
+    a, b = imgs.values()
+    np.testing.assert_allclose(a[0], b[0], rtol=2e-5, atol=1e-6)
+    assert a[1] == b[1]  # same rays traced
