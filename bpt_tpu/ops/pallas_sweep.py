@@ -178,8 +178,13 @@ def _any_loop(bmin_ref, bmax_ref, blk_ref, o, d, mnt, mxt, dead, occ0,
 
     def body(state):
         mask_rem, occ = state
-        # Union over OPEN lanes only (not yet occluded, not dead).
-        um = jnp.max(mask_rem * (1.0 - occ), axis=0,
+        # Union over OPEN lanes only (not yet occluded, not dead),
+        # weighted by open-lane overlap COUNT: argmax then visits the
+        # treelet the most open lanes overlap (greedy max-coverage), so
+        # common occluders settle many lanes in the first iterations and
+        # the recomputed union collapses fastest.  (r5 A/B vs the 0/1
+        # max: see RESULTS_r05.md.)
+        um = jnp.sum(mask_rem * (1.0 - occ), axis=0,
                      keepdims=True)                            # (1, NT)
         # J treelets per iteration: divides loop-overhead-bound trips.
         # When fewer remain, duplicates point at already-cleared
