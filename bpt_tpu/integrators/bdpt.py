@@ -635,10 +635,12 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
             lane=bsdf.gather_lane(scene.mat, flat(slots.mat_id), lv_kd),
         )
 
+    lk_eye = rng.lane_fold(lkeys, rng.EYE_WALK)  # loop-invariant
+
     def step(carry, depth):
         (o, d, throughput, vc, vcm, alive, rr_prev, pure_spec, li,
          nrays) = carry
-        kd = rng.lane_fold(rng.lane_fold(lkeys, rng.EYE_WALK), depth)
+        kd = rng.lane_fold(lk_eye, depth)
 
         if not cfg.no_rr:
             u_rr = rng.uniform1(rng.lane_fold(kd, rng.RR))
