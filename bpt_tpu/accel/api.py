@@ -76,7 +76,16 @@ def _compacted_any(fn, tg, o, d, min_t, max_t):
         return fn(tg, o, d, min_t, max_t)
     from ..ops.compaction import compact_rays, uncompact
 
-    o_c, d_c, mn_c, mx_c, plan = compact_rays(o, d, min_t, max_t)
+    # Spatial cluster keys (BPT_CLUSTER=0 disables): group live shadow
+    # segments by endpoint cells so per-tile treelet unions shrink —
+    # same single-key sort, no extra cost (ops/compaction.py).
+    bounds = None
+    if os.environ.get("BPT_CLUSTER", "1") == "1":
+        import jax.numpy as jnp
+
+        bounds = (jnp.min(tg.bmin, axis=0), jnp.max(tg.bmax, axis=0))
+    o_c, d_c, mn_c, mx_c, plan = compact_rays(o, d, min_t, max_t,
+                                              bounds=bounds)
     return uncompact(fn(tg, o_c, d_c, mn_c, mx_c), plan, False)
 
 

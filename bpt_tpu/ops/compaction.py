@@ -45,7 +45,39 @@ class CompactPlan(NamedTuple):
     valid: jnp.ndarray     # (B,) bool: lane was live in the ORIGINAL order
 
 
-def compact_rays(o, d, min_t, max_t):
+def _segment_cluster(o, end, bounds):
+    """Spatial cluster id in [0, 256) for a shadow segment.
+
+    Live lanes sort by cluster before the dead partition, so each ray
+    tile sees segments between nearby region pairs and its treelet
+    union collapses.  The light endpoint gets the resolution (64 cells):
+    light-subpath vertices are spatially RANDOM across lanes (each
+    pixel's light walk starts at an independent emitter sample), while
+    segment origins (eye vertices) are already pixel-major coherent —
+    they get a coarse 2x2x1 split (4 cells) to keep that coherence from
+    being destroyed by the endpoint grouping."""
+    bmin, bmax = bounds
+    inv = 1.0 / jnp.maximum(bmax - bmin, 1e-6)
+
+    def cells(p, n):
+        q = jnp.clip(((p - bmin) * inv * n).astype(jnp.int32), 0, n - 1)
+        return q
+
+    import os
+    shape = os.environ.get("BPT_CLUSTER_SHAPE", "64x4")
+    if shape == "256":
+        ce = cells(end, 8)                                 # 8x8x4 = 256
+        cz = jnp.clip((((end - bmin) * inv)[:, 2] * 4).astype(jnp.int32),
+                      0, 3)
+        return (ce[:, 0] * 8 + ce[:, 1]) * 4 + cz
+    ce = cells(end, 4)                                     # (B, 3)
+    c_end = (ce[:, 0] * 4 + ce[:, 1]) * 4 + ce[:, 2]       # [0, 64)
+    co = cells(o, 2)
+    c_o = co[:, 0] * 2 + co[:, 1]                          # [0, 4)
+    return c_end * 4 + c_o
+
+
+def compact_rays(o, d, min_t, max_t, bounds=None):
     """Stably pack live lanes (max_t >= min_t) to the batch front.
 
     Returns (o_c, d_c, min_c, max_c, plan).  Compacted arrays keep the
@@ -55,25 +87,38 @@ def compact_rays(o, d, min_t, max_t):
 
     Sort-width economies (profiler-driven, r5: the 10-column sort was 68
     ms per 8.3M-lane mega launch — 11% of the whole chunk): the (dead,
-    iota) key pair is packed into ONE monotone int32 key (iota, or
-    iota + B for dead lanes — same stable partition, orig_idx = key mod
-    B), and a scalar min_t (every `_visible` occlusion batch) skips its
-    payload column entirely.
+    iota) key pair is packed into ONE monotone key (iota, or iota + B
+    for dead lanes — same stable partition, orig_idx = key mod B), and
+    a scalar min_t (every `_visible` occlusion batch) skips its payload
+    column entirely.
+
+    bounds: optional (bmin, bmax) scene AABB.  When given, live lanes
+    additionally group by `_segment_cluster` (key = cluster * B + iota,
+    uint32 — 257 * 8.4M lanes needs the unsigned range), which costs
+    nothing over the existing sort but shrinks the per-tile treelet
+    unions the sweep kernels pay for.  Order within a cluster stays
+    original (stable).
     """
     b = o.shape[0]
     min_uniform = jnp.ndim(min_t) == 0
     min_b = jnp.broadcast_to(jnp.asarray(min_t, jnp.float32), (b,))
     max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (b,))
     valid = max_t >= min_b
-    iota = jnp.arange(b, dtype=jnp.int32)
-    key = jnp.where(valid, iota, iota + b)
+    iota = jnp.arange(b, dtype=jnp.uint32)
+    if bounds is not None:
+        end = o + d * max_t[:, None]
+        cluster = _segment_cluster(o, end, bounds).astype(jnp.uint32)
+        key = jnp.where(valid, cluster * jnp.uint32(b) + iota,
+                        jnp.uint32(256) * jnp.uint32(b) + iota)
+    else:
+        key = jnp.where(valid, iota, iota + jnp.uint32(b))
     cols = [key, o[:, 0], o[:, 1], o[:, 2],
             d[:, 0], d[:, 1], d[:, 2], max_t]
     if not min_uniform:
         cols.append(min_b)
     out = jax.lax.sort(cols, num_keys=1)
     key_s = out[0]
-    orig_idx = jnp.where(key_s >= b, key_s - b, key_s)
+    orig_idx = (key_s % jnp.uint32(b)).astype(jnp.int32)
     o_c = jnp.stack(out[1:4], axis=-1)
     d_c = jnp.stack(out[4:7], axis=-1)
     mx_c = out[7]

@@ -195,7 +195,10 @@ def _any_loop(bmin_ref, bmax_ref, blk_ref, o, d, mnt, mxt, dead, occ0,
         keep = jnp.ones((1, nt), jnp.float32)
         for _ in range(ANY_J):
             tau = jnp.argmax(um_j[0, :])
-            parts.append(blk_ref[pl.ds(tau * 9, 9), :])
+            # (1, 9, K) leading-dim dynamic fetch: Mosaic allows any
+            # index on the untiled dim (a row slice at tau*9 needs an
+            # 8-aligned sublane offset and fails for K != 128).
+            parts.append(blk_ref[pl.ds(tau, 1)].reshape(9, k))
             sel = (iota_nt == tau).astype(jnp.float32)
             um_j = um_j * (1.0 - sel)
             keep = keep * (1.0 - sel)
@@ -336,7 +339,7 @@ def _closest_body(bmin_ref, bmax_ref, blk_ref, tri_ref, out_ref,
         for _ in range(CLOSEST_J):
             tile_entry = jnp.min(rem_j, axis=0, keepdims=True)  # (1, NT)
             tau = jnp.argmin(tile_entry[0, :])
-            blks.append(blk_ref[pl.ds(tau * 9, 9), :])          # (9, K)
+            blks.append(blk_ref[pl.ds(tau, 1)].reshape(9, k))   # (9, K)
             tris.append(tri_ref[pl.ds(tau, 1), :])              # (1, K)
             # Per-lane entry distance via masked reduce (value-level
             # dynamic_slice does not lower on Mosaic TC).
@@ -410,15 +413,16 @@ def _pad_tiles(o, d, min_t, max_t, tile):
 
 def _tables(tg):
     nt, _, k = tg.block.shape
-    return (tg.bmin.T, tg.bmax.T, tg.block.reshape(nt * 9, k),
+    return (tg.bmin.T, tg.bmax.T, tg.block,
             tg.tri_index.astype(jnp.float32), nt, k)
 
 
 def sweep_vmem_bytes(tg) -> int:
-    """VMEM footprint of the resident tables (lane dim padded to 128)."""
+    """VMEM footprint of the resident tables (lane dim padded to 128;
+    the (NT, 9, K) block's sublane dim pads 9 -> 16)."""
     nt, _, k = tg.block.shape
     kp = max(k, 128)
-    return (nt * 9 * kp + nt * kp + 2 * 3 * ((nt + 127) // 128) * 128) * 4
+    return (nt * 16 * kp + nt * kp + 2 * 3 * ((nt + 127) // 128) * 128) * 4
 
 
 def fits_vmem(tg, tile: int = TILE, budget: int = 8 * 1024 * 1024) -> bool:
@@ -441,7 +445,7 @@ def trace_any_sweep(tg, o, d, min_t, max_t, tile: int = TILE,
     occ = pl.pallas_call(
         functools.partial(_any_kernel, nt=nt, k=k),
         grid=(n_tiles,),
-        in_specs=[full((3, nt)), full((3, nt)), full((nt * 9, k)),
+        in_specs=[full((3, nt)), full((3, nt)), full((nt, 9, k)),
                   ray_spec],
         out_specs=[occ_spec],
         out_shape=[jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32)],
@@ -465,7 +469,7 @@ def trace_closest_sweep(tg, o, d, min_t, max_t, tile: int = TILE,
     out = pl.pallas_call(
         functools.partial(_closest_kernel, nt=nt, k=k),
         grid=(n_tiles,),
-        in_specs=[full((3, nt)), full((3, nt)), full((nt * 9, k)),
+        in_specs=[full((3, nt)), full((3, nt)), full((nt, 9, k)),
                   full((nt, k)), ray_spec],
         out_specs=[out_spec],
         out_shape=[jax.ShapeDtypeStruct((n_tiles, 4, tile), jnp.float32)],
@@ -504,7 +508,7 @@ def _chunked_tables(tg, nc):
             [a, jnp.repeat(a[-1:], pad, axis=0)])
         bmin, bmax, blk, tri = rep(bmin), rep(bmax), rep(blk), rep(tri)
     ntp = nt + pad
-    return (bmin.T, bmax.T, blk.reshape(ntp * 9, k), tri, ntp, k)
+    return (bmin.T, bmax.T, blk, tri, ntp, k)
 
 
 def trace_any_stream(tg, o, d, min_t, max_t, tile: int = TILE,
@@ -525,7 +529,7 @@ def trace_any_stream(tg, o, d, min_t, max_t, tile: int = TILE,
         grid=(n_tiles, n_chunks),
         in_specs=[pl.BlockSpec((3, nc), lambda i, c: (0, c)),
                   pl.BlockSpec((3, nc), lambda i, c: (0, c)),
-                  pl.BlockSpec((nc * 9, k), lambda i, c: (c, 0)),
+                  pl.BlockSpec((nc, 9, k), lambda i, c: (c, 0, 0)),
                   ray_spec],
         out_specs=[occ_spec],
         out_shape=[jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32)],
@@ -553,7 +557,7 @@ def trace_closest_stream(tg, o, d, min_t, max_t, tile: int = TILE,
         grid=(n_tiles, n_chunks),
         in_specs=[pl.BlockSpec((3, nc), lambda i, c: (0, c)),
                   pl.BlockSpec((3, nc), lambda i, c: (0, c)),
-                  pl.BlockSpec((nc * 9, k), lambda i, c: (c, 0)),
+                  pl.BlockSpec((nc, 9, k), lambda i, c: (c, 0, 0)),
                   pl.BlockSpec((nc, k), lambda i, c: (c, 0)),
                   ray_spec],
         out_specs=[out_spec],
