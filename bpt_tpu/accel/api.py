@@ -64,7 +64,13 @@ def _compacted_closest(fn, tg, o, d, min_t, max_t) -> traverse.Hit:
 
     from ..ops.compaction import compact_rays, uncompact_many
 
-    o_c, d_c, mn_c, mx_c, plan = compact_rays(o, d, min_t, max_t)
+    bounds = None
+    if os.environ.get("BPT_CLUSTER", "1") == "1":
+        import jax.numpy as jnp
+
+        bounds = (jnp.min(tg.bmin, axis=0), jnp.max(tg.bmax, axis=0))
+    o_c, d_c, mn_c, mx_c, plan = compact_rays(o, d, min_t, max_t,
+                                              bounds=bounds, kind="ray")
     h = fn(tg, o_c, d_c, mn_c, mx_c)
     t, tri, u, v = uncompact_many(
         (h.t, h.tri, h.u, h.v), plan, (jnp.inf, -1, 0.0, 0.0))

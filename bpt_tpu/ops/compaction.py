@@ -77,7 +77,22 @@ def _segment_cluster(o, end, bounds):
     return c_end * 4 + c_o
 
 
-def compact_rays(o, d, min_t, max_t, bounds=None):
+def _ray_cluster(o, d, bounds):
+    """Cluster id in [0, 512) for a closest-hit ray: origin cell (4^3)
+    x direction octant (8).  Walk bounce rays keep pixel-major origin
+    coherence but scatter in direction after a diffuse bounce; octant
+    grouping restores direction coherence for the per-tile union."""
+    bmin, bmax = bounds
+    inv = 1.0 / jnp.maximum(bmax - bmin, 1e-6)
+    q = jnp.clip(((o - bmin) * inv * 4).astype(jnp.int32), 0, 3)
+    c_o = (q[:, 0] * 4 + q[:, 1]) * 4 + q[:, 2]            # [0, 64)
+    oct_ = ((d[:, 0] >= 0).astype(jnp.int32) * 4
+            + (d[:, 1] >= 0).astype(jnp.int32) * 2
+            + (d[:, 2] >= 0).astype(jnp.int32))            # [0, 8)
+    return c_o * 8 + oct_
+
+
+def compact_rays(o, d, min_t, max_t, bounds=None, kind="segment"):
     """Stably pack live lanes (max_t >= min_t) to the batch front.
 
     Returns (o_c, d_c, min_c, max_c, plan).  Compacted arrays keep the
@@ -106,10 +121,17 @@ def compact_rays(o, d, min_t, max_t, bounds=None):
     valid = max_t >= min_b
     iota = jnp.arange(b, dtype=jnp.uint32)
     if bounds is not None:
-        end = o + d * max_t[:, None]
-        cluster = _segment_cluster(o, end, bounds).astype(jnp.uint32)
+        if kind == "ray":
+            cluster = _ray_cluster(o, d, bounds)
+            n_cl = 512   # (513 * B) must fit uint32: B <= 8.3M
+        else:
+            end = o + d * max_t[:, None]
+            cluster = _segment_cluster(o, end, bounds)
+            n_cl = 256
+        assert (n_cl + 1) * b < 2**32, (n_cl, b)
+        cluster = cluster.astype(jnp.uint32)
         key = jnp.where(valid, cluster * jnp.uint32(b) + iota,
-                        jnp.uint32(256) * jnp.uint32(b) + iota)
+                        jnp.uint32(n_cl) * jnp.uint32(b) + iota)
     else:
         key = jnp.where(valid, iota, iota + jnp.uint32(b))
     cols = [key, o[:, 0], o[:, 1], o[:, 2],
