@@ -56,6 +56,7 @@ from ..core.math import (
 )
 from ..scene.scene import SceneData
 from . import mis as mis_fn
+from ..accel.traverse import Hit
 from .common import (
     emission_at,
     make_interaction,
@@ -327,6 +328,40 @@ def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, b,
     Returns (slots: LightVertexSlots, splat_pixels (L,B), splat_rgb (L,B,3),
     ray_count[, t1_ok])."""
     l = cfg.n_steps
+    lk, init = _light_walk_init(scene, lkeys, b, primary_alive)
+
+    if l == 0:
+        zero3 = jnp.zeros((0, b, 3), jnp.float32)
+        zero1 = jnp.zeros((0, b), jnp.float32)
+        slots = LightVertexSlots(
+            p=zero3, ns=zero3, wo=zero3, throughput=zero3, vcm=zero1,
+            vc=zero1, rr=zero1, mat_id=jnp.zeros((0, b), jnp.int32),
+            tri=jnp.zeros((0, b), jnp.int32), u=zero1, v=zero1,
+            valid=jnp.zeros((0, b), bool),
+        )
+        if defer_t1:
+            return (slots, jnp.zeros((0, b), jnp.int32), zero3,
+                    jnp.int32(0), jnp.zeros((0, b), bool))
+        return (slots, jnp.zeros((0, b), jnp.int32), zero3,
+                jnp.int32(0))
+
+    def step(carry, depth):
+        carry, (ro, rd, rmn, rmx) = _light_pre(cfg, lk, carry, depth)
+        hit = trace_closest(scene, ro, rd, rmn, rmx)
+        return _light_post(scene, cam_consts, cfg, lk, n_light, defer_t1,
+                           b, carry, depth, hit)
+
+    depths = jnp.arange(1, l + 1)
+    (carry, (slots, pix, rgb, t1_ok)) = jax.lax.scan(step, init, depths)
+    if defer_t1:
+        return slots, pix, rgb, carry[-1], t1_ok
+    return slots, pix, rgb, carry[-1]
+
+
+def _light_walk_init(scene, lkeys, b, primary_alive):
+    """Light-walk setup (reference: bdpt.h:160-182): emitter position +
+    direction sampling, initial throughput and MIS state.  Returns
+    (lk, init_carry)."""
     lk = rng.lane_fold(lkeys, rng.LIGHT_WALK)
     es = sample_emitter_position(scene, lk)
     u_dir = rng.uniform2(rng.lane_fold(lk, rng.EMITTER_DIRECTION))
@@ -348,102 +383,90 @@ def light_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, b,
     vc, vcm = mis_fn.light_walk_init(cos_out, safe_emission_pdf,
                                      area_pdf)  # bdpt.h:175-177
     alive = primary_alive & (cos_out > 0.0)               # bdpt.h:179-182
-
-    if l == 0:
-        zero3 = jnp.zeros((0, b, 3), jnp.float32)
-        zero1 = jnp.zeros((0, b), jnp.float32)
-        slots = LightVertexSlots(
-            p=zero3, ns=zero3, wo=zero3, throughput=zero3, vcm=zero1,
-            vc=zero1, rr=zero1, mat_id=jnp.zeros((0, b), jnp.int32),
-            tri=jnp.zeros((0, b), jnp.int32), u=zero1, v=zero1,
-            valid=jnp.zeros((0, b), bool),
-        )
-        if defer_t1:
-            return (slots, jnp.zeros((0, b), jnp.int32), zero3,
-                    jnp.int32(0), jnp.zeros((0, b), bool))
-        return (slots, jnp.zeros((0, b), jnp.int32), zero3,
-                jnp.int32(0))
-
-    def step(carry, depth):
-        o, d, throughput, vc, vcm, alive, rr_prev, nrays = carry
-        kd = rng.lane_fold(lk, depth)
-
-        if not cfg.no_rr:
-            u_rr = rng.uniform1(rng.lane_fold(kd, rng.RR))
-            alive = alive & ((depth < cfg.rr_depth) | (u_rr < rr_prev))
-
-        nrays = nrays + jnp.sum(alive)
-        # Dead lanes trace degenerate rays (max_t < min_t -> empty treelet
-        # masks), so terminated walks stop paying traversal cost.
-        hit = trace_closest(scene, o, d, EPSILON,
-                            jnp.where(alive, jnp.inf, -1.0))
-        alive = alive & hit.valid
-        it = make_interaction(scene, d, hit)
-
-        dist2 = hit.t * hit.t
-        abs_cos_in = jnp.maximum(jnp.abs(it.wo[..., 2]), 1e-20)
-        # Freeze dead lanes' MIS state: letting it keep updating can
-        # overflow to inf across scan steps and poison gradients via
-        # 0*inf in downstream weights.
-        vc_u, vcm_u = mis_fn.measure_update(vc, vcm, dist2,
-                                            abs_cos_in)  # bdpt.h:196-197
-        vcm = jnp.where(alive, vcm_u, vcm)
-        vc = jnp.where(alive, vc_u, vc)
-
-        rr_prob = _rr_probability(cfg, depth, throughput)
-        lane = bsdf.gather_lane(scene.mat, it.mat_id,
-                                textured_kd(scene, it))
-        delta = bsdf.is_delta(lane)
-
-        if cfg.connect_t1:
-            pix, rgb, okc = _connect_to_camera(
-                scene, cam_consts, cfg, it, lane, throughput, vcm, vc,
-                rr_prob, alive & ~delta, n_light=n_light,
-            )
-            if not defer_t1:
-                occ = _visible(
-                    scene, jnp.broadcast_to(cam_consts["o"], it.p.shape),
-                    it.p, needed=okc, trace_vis=cfg.trace_vis)
-                if cfg.trace_vis:
-                    nrays = nrays + jnp.sum(okc)
-                okc &= ~occ
-                pix = jnp.where(okc, pix, cfg.width * cfg.height)
-                rgb = jnp.where(okc[..., None], rgb, 0.0)
-        else:  # bench ablation: keep walk + vertex storage identical
-            pix = jnp.full((b,), cfg.width * cfg.height, jnp.int32)
-            rgb = jnp.zeros((b, 3), jnp.float32)
-            okc = jnp.zeros((b,), bool)
-
-        o2, d2, thr2, vc2, vcm2, alive2, wi = _continue_walk(
-            scene, kd, it, lane, rr_prob, throughput, vc, vcm, alive
-        )
-        vertex_valid = alive & ~delta & alive2  # push-after-continue,
-        # reference bdpt.h:211-215
-
-        vertex = LightVertexSlots(
-            p=it.p,
-            ns=it.frame_ns[..., 2, :],
-            wo=it.wo,
-            throughput=throughput,
-            vcm=vcm,
-            vc=vc,
-            rr=rr_prob,
-            mat_id=it.mat_id,
-            tri=it.tri,
-            u=it.u,
-            v=it.v,
-            valid=vertex_valid,
-        )
-        return (o2, d2, thr2, vc2, vcm2, alive2, rr_prob, nrays), (
-            vertex, pix, rgb, okc if defer_t1 else None)
-
     init = (es.pos, d, throughput, vc, vcm, alive,
             jnp.ones((b,), jnp.float32), jnp.int32(0))
-    depths = jnp.arange(1, l + 1)
-    (carry, (slots, pix, rgb, t1_ok)) = jax.lax.scan(step, init, depths)
-    if defer_t1:
-        return slots, pix, rgb, carry[-1], t1_ok
-    return slots, pix, rgb, carry[-1]
+    return lk, init
+
+
+def _light_pre(cfg: BDPTConfig, lk, carry, depth):
+    """Light-walk step, ray-build half: RR termination + the bounce ray.
+    Dead lanes trace degenerate rays (max_t < min_t -> empty treelet
+    masks), so terminated walks stop paying traversal cost."""
+    o, d, throughput, vc, vcm, alive, rr_prev, nrays = carry
+    if not cfg.no_rr:
+        kd = rng.lane_fold(lk, depth)
+        u_rr = rng.uniform1(rng.lane_fold(kd, rng.RR))
+        alive = alive & ((depth < cfg.rr_depth) | (u_rr < rr_prev))
+    nrays = nrays + jnp.sum(alive)
+    carry = (o, d, throughput, vc, vcm, alive, rr_prev, nrays)
+    return carry, (o, d, EPSILON, jnp.where(alive, jnp.inf, -1.0))
+
+
+def _light_post(scene, cam_consts, cfg: BDPTConfig, lk, n_light,
+                defer_t1, b, carry, depth, hit):
+    """Light-walk step, hit-consume half (reference: bdpt.h:186-215)."""
+    o, d, throughput, vc, vcm, alive, rr_prev, nrays = carry
+    kd = rng.lane_fold(lk, depth)
+
+    alive = alive & hit.valid
+    it = make_interaction(scene, d, hit)
+
+    dist2 = hit.t * hit.t
+    abs_cos_in = jnp.maximum(jnp.abs(it.wo[..., 2]), 1e-20)
+    # Freeze dead lanes' MIS state: letting it keep updating can
+    # overflow to inf across scan steps and poison gradients via
+    # 0*inf in downstream weights.
+    vc_u, vcm_u = mis_fn.measure_update(vc, vcm, dist2,
+                                        abs_cos_in)  # bdpt.h:196-197
+    vcm = jnp.where(alive, vcm_u, vcm)
+    vc = jnp.where(alive, vc_u, vc)
+
+    rr_prob = _rr_probability(cfg, depth, throughput)
+    lane = bsdf.gather_lane(scene.mat, it.mat_id,
+                            textured_kd(scene, it))
+    delta = bsdf.is_delta(lane)
+
+    if cfg.connect_t1:
+        pix, rgb, okc = _connect_to_camera(
+            scene, cam_consts, cfg, it, lane, throughput, vcm, vc,
+            rr_prob, alive & ~delta, n_light=n_light,
+        )
+        if not defer_t1:
+            occ = _visible(
+                scene, jnp.broadcast_to(cam_consts["o"], it.p.shape),
+                it.p, needed=okc, trace_vis=cfg.trace_vis)
+            if cfg.trace_vis:
+                nrays = nrays + jnp.sum(okc)
+            okc &= ~occ
+            pix = jnp.where(okc, pix, cfg.width * cfg.height)
+            rgb = jnp.where(okc[..., None], rgb, 0.0)
+    else:  # bench ablation: keep walk + vertex storage identical
+        pix = jnp.full((b,), cfg.width * cfg.height, jnp.int32)
+        rgb = jnp.zeros((b, 3), jnp.float32)
+        okc = jnp.zeros((b,), bool)
+
+    o2, d2, thr2, vc2, vcm2, alive2, wi = _continue_walk(
+        scene, kd, it, lane, rr_prob, throughput, vc, vcm, alive
+    )
+    vertex_valid = alive & ~delta & alive2  # push-after-continue,
+    # reference bdpt.h:211-215
+
+    vertex = LightVertexSlots(
+        p=it.p,
+        ns=it.frame_ns[..., 2, :],
+        wo=it.wo,
+        throughput=throughput,
+        vcm=vcm,
+        vc=vc,
+        rr=rr_prob,
+        mat_id=it.mat_id,
+        tri=it.tri,
+        u=it.u,
+        v=it.v,
+        valid=vertex_valid,
+    )
+    return (o2, d2, thr2, vc2, vcm2, alive2, rr_prob, nrays), (
+        vertex, pix, rgb, okc if defer_t1 else None)
 
 
 def _connect_to_light(scene, cfg: BDPTConfig, lkeys, it, lane, throughput,
@@ -638,25 +661,56 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
     lk_eye = rng.lane_fold(lkeys, rng.EYE_WALK)  # loop-invariant
 
     def step(carry, depth):
-        (o, d, throughput, vc, vcm, alive, rr_prev, pure_spec, li,
-         nrays) = carry
+        carry, (ro, rd, rmn, rmx) = _eye_pre(cfg, lk_eye, carry, depth)
+        hit = trace_closest(scene, ro, rd, rmn, rmx)
+        return _eye_post(scene, cam_consts, cfg, lk_eye, n_light, lv,
+                         perm, inv_perm, l, b, collect, defer_connect,
+                         carry, depth, hit)
+
+    init = (o0, primary_d, throughput, vc, vcm,
+            jnp.ones((b,), bool), jnp.ones((b,), jnp.float32),
+            jnp.ones((b,), bool), li, jnp.int32(0))
+    depths = jnp.arange(1, l + 1)
+    carry, ys = jax.lax.scan(step, init, depths)
+    if defer_connect:
+        eye_slots, nee_pack = ys
+        return carry[-2], carry[-1], eye_slots, nee_pack
+    if collect:
+        return carry[-2], carry[-1], ys
+    return carry[-2], carry[-1]
+
+
+def _eye_pre(cfg: BDPTConfig, lk_eye, carry, depth):
+    """Eye-walk step, ray-build half: RR termination + the bounce ray.
+    Primary rays carry the reference's [near, far] window
+    (renderer.cpp:177,192); bounce rays are unbounded; dead lanes trace
+    degenerate rays (empty treelet masks)."""
+    (o, d, throughput, vc, vcm, alive, rr_prev, pure_spec, li,
+     nrays) = carry
+    if not cfg.no_rr:
         kd = rng.lane_fold(lk_eye, depth)
+        u_rr = rng.uniform1(rng.lane_fold(kd, rng.RR))
+        alive = alive & ((depth < cfg.rr_depth) | (u_rr < rr_prev))
+    nrays = nrays + jnp.sum(alive)
+    min_t = jnp.where(depth == 1, cfg.near, EPSILON)
+    max_t = jnp.where(depth == 1, cfg.far, jnp.inf)
+    carry = (o, d, throughput, vc, vcm, alive, rr_prev, pure_spec, li,
+             nrays)
+    return carry, (o, d, min_t, jnp.where(alive, max_t, -1.0))
 
-        if not cfg.no_rr:
-            u_rr = rng.uniform1(rng.lane_fold(kd, rng.RR))
-            alive = alive & ((depth < cfg.rr_depth) | (u_rr < rr_prev))
 
-        nrays = nrays + jnp.sum(alive)
-        # Primary rays carry the reference's [near, far] window
-        # (renderer.cpp:177,192); bounce rays are unbounded.
-        min_t = jnp.where(depth == 1, cfg.near, EPSILON)
-        max_t = jnp.where(depth == 1, cfg.far, jnp.inf)
-        # Dead lanes trace degenerate rays (empty treelet masks).
-        hit = trace_closest(scene, o, d, min_t,
-                            jnp.where(alive, max_t, -1.0))
-        alive = alive & hit.valid
-        it = make_interaction(scene, d, hit)
+def _eye_post(scene, cam_consts, cfg: BDPTConfig, lk_eye, n_light, lv,
+              perm, inv_perm, l, b, collect, defer_connect, carry, depth,
+              hit):
+    """Eye-walk step, hit-consume half (reference: bdpt.h:68-152)."""
+    (o, d, throughput, vc, vcm, alive, rr_prev, pure_spec, li,
+     nrays) = carry
+    kd = rng.lane_fold(lk_eye, depth)
+    n_emitters = scene.emitters.radiance.shape[0]
+    alive = alive & hit.valid
+    it = make_interaction(scene, d, hit)
 
+    if True:  # original scan-body indentation preserved below
         dist2 = hit.t * hit.t
         abs_cos_in = jnp.maximum(jnp.abs(it.wo[..., 2]), 1e-20)
         vc_u, vcm_u = mis_fn.measure_update(vc, vcm, dist2, abs_cos_in)
@@ -786,17 +840,73 @@ def eye_subpath_walk(scene, cam_consts, cfg: BDPTConfig, lkeys, primary_d,
         return (o2, d2, thr2, vc2, vcm2, alive2, rr_prob, pure_spec, li,
                 nrays), ys
 
-    init = (o0, primary_d, throughput, vc, vcm,
-            jnp.ones((b,), bool), jnp.ones((b,), jnp.float32),
-            jnp.ones((b,), bool), li, jnp.int32(0))
+
+# Fused walks (BPT_FUSED_WALKS=0 restores separate scans for A/Bs): the
+# mega-connect path runs BOTH subpath walks in ONE scan, so each depth
+# issues a single 2B-lane closest-hit launch (eye bounce rays ++ light
+# bounce rays) instead of two B-lane launches — per-launch fixed costs
+# (dispatch, compaction sorts) halve, and the cluster-keyed compaction
+# packs the joint batch.
+_FUSED_WALKS = _os.environ.get("BPT_FUSED_WALKS", "1") == "1"
+
+
+def fused_subpath_walks(scene, cam_consts, cfg: BDPTConfig, lkeys, b,
+                        primary_d, primary_alive, n_light=None):
+    """Both subpath walks in one scan, visibility fully deferred (the
+    defer_t1 / defer_connect variants of the solo walks, same RNG
+    streams and identical per-step math — this is launch batching only).
+
+    Returns (light_slots, t1_pix, t1_rgb, t1_ok, li_s0, eye_slots,
+    nee_pack, nrays)."""
+    l = cfg.n_steps
+    if n_light is None:
+        n_light = float(cfg.width * cfg.height)
+    lk_l, init_l = _light_walk_init(scene, lkeys, b, primary_alive)
+    lk_e = rng.lane_fold(lkeys, rng.EYE_WALK)
+
+    cos_cam = jnp.sum(cam_consts["forward"] * primary_d, axis=-1)
+    img_pt_dist = cam_consts["vnpd"] / jnp.maximum(cos_cam, 1e-20)
+    t1_pdf = img_pt_dist * img_pt_dist / jnp.maximum(cos_cam, 1e-20)
+    vc_e, vcm_e = mis_fn.eye_walk_init(n_light, t1_pdf)
+    o0 = jnp.broadcast_to(cam_consts["o"], primary_d.shape)
+    init_e = (o0, primary_d, jnp.ones((b, 3), jnp.float32), vc_e, vcm_e,
+              jnp.ones((b,), bool), jnp.ones((b,), jnp.float32),
+              jnp.ones((b,), bool), jnp.zeros((b, 3), jnp.float32),
+              jnp.int32(0))
+
+    def step(carry, depth):
+        ec, lc = carry
+        ec, (eo, ed, emn, emx) = _eye_pre(cfg, lk_e, ec, depth)
+        lc, (lo, ld, lmn, lmx) = _light_pre(cfg, lk_l, lc, depth)
+        o = jnp.concatenate([eo, lo])
+        d = jnp.concatenate([ed, ld])
+        mn = jnp.concatenate([jnp.broadcast_to(emn, (b,)),
+                              jnp.broadcast_to(lmn, (b,))])
+        mx = jnp.concatenate([emx, lmx])
+        hit = trace_closest(scene, o, d, mn, mx)
+        split = lambda a: (a[:b], a[b:])
+        et, lt = split(hit.t)
+        etri, ltri = split(hit.tri)
+        eu, lu = split(hit.u)
+        ev, lv_ = split(hit.v)
+        eva, lva = split(hit.valid)
+        ec, eys = _eye_post(
+            scene, cam_consts, cfg, lk_e, n_light, None, None, None, l,
+            b, True, True, ec, depth,
+            Hit(t=et, tri=etri, u=eu, v=ev, valid=eva))
+        lc, lys = _light_post(
+            scene, cam_consts, cfg, lk_l, n_light, True, b, lc, depth,
+            Hit(t=lt, tri=ltri, u=lu, v=lv_, valid=lva))
+        return (ec, lc), (eys, lys)
+
     depths = jnp.arange(1, l + 1)
-    carry, ys = jax.lax.scan(step, init, depths)
-    if defer_connect:
-        eye_slots, nee_pack = ys
-        return carry[-2], carry[-1], eye_slots, nee_pack
-    if collect:
-        return carry[-2], carry[-1], ys
-    return carry[-2], carry[-1]
+    (ec, lc), (eys, lys) = jax.lax.scan(step, (init_e, init_l), depths)
+    eye_slots, nee_pack = eys
+    light_slots, t1_pix, t1_rgb, t1_ok = lys
+    li_s0 = ec[-2]
+    nrays = ec[-1] + lc[-1]
+    return (light_slots, t1_pix, t1_rgb, t1_ok, li_s0, eye_slots,
+            nee_pack, nrays)
 
 
 def render_sample(scene: SceneData, cam_consts, cfg: BDPTConfig, key,
@@ -833,13 +943,21 @@ def render_sample(scene: SceneData, cam_consts, cfg: BDPTConfig, key,
     # per-depth fallback only remains for BPT_MEGA=0 A/Bs.
     l = cfg.n_steps
     if cfg.mode == "bdpt" and l > 0 and _MEGA:
-        slots, t1_pix, t1_rgb, nr_l, t1_ok = light_subpath_walk(
-            scene, cam_consts, cfg, lkeys, b, primary_alive,
-            defer_t1=True)
-        nrays = nrays + nr_l
-        li, nr_e, eye_slots, (nee_li, nee_ok, nee_end) = eye_subpath_walk(
-            scene, cam_consts, cfg, lkeys, d, None, defer_connect=True)
-        nrays = nrays + nr_e
+        if _FUSED_WALKS:
+            (slots, t1_pix, t1_rgb, t1_ok, li, eye_slots,
+             (nee_li, nee_ok, nee_end), nr_w) = fused_subpath_walks(
+                scene, cam_consts, cfg, lkeys, b, d, primary_alive)
+            nrays = nrays + nr_w
+        else:
+            slots, t1_pix, t1_rgb, nr_l, t1_ok = light_subpath_walk(
+                scene, cam_consts, cfg, lkeys, b, primary_alive,
+                defer_t1=True)
+            nrays = nrays + nr_l
+            (li, nr_e, eye_slots,
+             (nee_li, nee_ok, nee_end)) = eye_subpath_walk(
+                scene, cam_consts, cfg, lkeys, d, None,
+                defer_connect=True)
+            nrays = nrays + nr_e
         li_c, splat_pix_f, splat_rgb_f, nr_c = _mega_connect(
             scene, cam_consts, cfg, eye_slots, slots,
             nee_li, nee_ok, nee_end, t1_pix, t1_rgb,

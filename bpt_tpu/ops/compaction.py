@@ -78,18 +78,21 @@ def _segment_cluster(o, end, bounds):
 
 
 def _ray_cluster(o, d, bounds):
-    """Cluster id in [0, 512) for a closest-hit ray: origin cell (4^3)
-    x direction octant (8).  Walk bounce rays keep pixel-major origin
-    coherence but scatter in direction after a diffuse bounce; octant
-    grouping restores direction coherence for the per-tile union."""
+    """Cluster id for a closest-hit ray: origin cell x direction octant.
+    Walk bounce rays keep pixel-major origin coherence but scatter in
+    direction after a diffuse bounce; octant grouping restores direction
+    coherence for the per-tile union.  BPT_RAY_CELLS sets the per-axis
+    origin resolution (default 4 -> 512 clusters)."""
+    import os
+    n = int(os.environ.get("BPT_RAY_CELLS", "4"))
     bmin, bmax = bounds
     inv = 1.0 / jnp.maximum(bmax - bmin, 1e-6)
-    q = jnp.clip(((o - bmin) * inv * 4).astype(jnp.int32), 0, 3)
-    c_o = (q[:, 0] * 4 + q[:, 1]) * 4 + q[:, 2]            # [0, 64)
+    q = jnp.clip(((o - bmin) * inv * n).astype(jnp.int32), 0, n - 1)
+    c_o = (q[:, 0] * n + q[:, 1]) * n + q[:, 2]            # [0, n^3)
     oct_ = ((d[:, 0] >= 0).astype(jnp.int32) * 4
             + (d[:, 1] >= 0).astype(jnp.int32) * 2
             + (d[:, 2] >= 0).astype(jnp.int32))            # [0, 8)
-    return c_o * 8 + oct_
+    return c_o * 8 + oct_, n * n * n * 8
 
 
 def compact_rays(o, d, min_t, max_t, bounds=None, kind="segment"):
@@ -122,8 +125,7 @@ def compact_rays(o, d, min_t, max_t, bounds=None, kind="segment"):
     iota = jnp.arange(b, dtype=jnp.uint32)
     if bounds is not None:
         if kind == "ray":
-            cluster = _ray_cluster(o, d, bounds)
-            n_cl = 512   # (513 * B) must fit uint32: B <= 8.3M
+            cluster, n_cl = _ray_cluster(o, d, bounds)
         else:
             end = o + d * max_t[:, None]
             cluster = _segment_cluster(o, end, bounds)
