@@ -43,6 +43,27 @@ class CompactPlan(NamedTuple):
     orig_idx: jnp.ndarray  # (B,) int32: original index of each compacted
                            # lane (the partition permutation)
     valid: jnp.ndarray     # (B,) bool: lane was live in the ORIGINAL order
+    n_chunks: int = 1      # independent sort chunks (see compact_rays)
+
+
+def _pick_chunks(b: int) -> int:
+    """Largest power-of-two chunk count <= 64 that divides b.  Sorting
+    (C, B/C) batched beats one (B,) sort: XLA's sorting network is
+    O(B log^2 B) with every payload column moved through each stage, so
+    64 chunks of an 8.3M-lane mega batch cut the stage count ~45% and
+    run as independent rows.  Compaction quality is unaffected for the
+    kernels: each chunk's dead lanes pack to its own tail (the all-dead
+    early exit skips those tiles either way), and cluster grouping still
+    works as long as a chunk holds many tiles — chunks are kept >= 128k
+    lanes (~1000 tiles) so the ~256-cluster grouping isn't diluted
+    (measured: 4k-lane chunks on the 262k-lane walk batches cost the
+    walks stage +0.27 s)."""
+    import os
+    cap = int(os.environ.get("BPT_COMPACT_CHUNKS", "64"))
+    c = cap
+    while c > 1 and (b % c or b // c < 128 * 1024):
+        c //= 2
+    return c
 
 
 def _segment_cluster(o, end, bounds):
@@ -118,11 +139,13 @@ def compact_rays(o, d, min_t, max_t, bounds=None, kind="segment"):
     original (stable).
     """
     b = o.shape[0]
+    nc = _pick_chunks(b)
+    cs = b // nc
     min_uniform = jnp.ndim(min_t) == 0
     min_b = jnp.broadcast_to(jnp.asarray(min_t, jnp.float32), (b,))
     max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (b,))
     valid = max_t >= min_b
-    iota = jnp.arange(b, dtype=jnp.uint32)
+    iota = jnp.arange(b, dtype=jnp.uint32) % jnp.uint32(cs)
     if bounds is not None:
         if kind == "ray":
             cluster, n_cl = _ray_cluster(o, d, bounds)
@@ -130,31 +153,43 @@ def compact_rays(o, d, min_t, max_t, bounds=None, kind="segment"):
             end = o + d * max_t[:, None]
             cluster = _segment_cluster(o, end, bounds)
             n_cl = 256
-        assert (n_cl + 1) * b < 2**32, (n_cl, b)
+        assert (n_cl + 1) * cs < 2**32, (n_cl, cs)
         cluster = cluster.astype(jnp.uint32)
-        key = jnp.where(valid, cluster * jnp.uint32(b) + iota,
-                        jnp.uint32(n_cl) * jnp.uint32(b) + iota)
+        key = jnp.where(valid, cluster * jnp.uint32(cs) + iota,
+                        jnp.uint32(n_cl) * jnp.uint32(cs) + iota)
     else:
-        key = jnp.where(valid, iota, iota + jnp.uint32(b))
+        key = jnp.where(valid, iota, iota + jnp.uint32(cs))
     cols = [key, o[:, 0], o[:, 1], o[:, 2],
             d[:, 0], d[:, 1], d[:, 2], max_t]
     if not min_uniform:
         cols.append(min_b)
-    out = jax.lax.sort(cols, num_keys=1)
+    out = jax.lax.sort([c.reshape(nc, cs) for c in cols], num_keys=1,
+                       dimension=1)
+    out = [c.reshape(b) for c in out]
     key_s = out[0]
-    orig_idx = (key_s % jnp.uint32(b)).astype(jnp.int32)
+    base = (jnp.arange(b, dtype=jnp.uint32) // jnp.uint32(cs)
+            * jnp.uint32(cs))
+    orig_idx = (base + key_s % jnp.uint32(cs)).astype(jnp.int32)
     o_c = jnp.stack(out[1:4], axis=-1)
     d_c = jnp.stack(out[4:7], axis=-1)
     mx_c = out[7]
     mn_c = min_b if min_uniform else out[8]
-    return o_c, d_c, mn_c, mx_c, CompactPlan(orig_idx, valid)
+    return o_c, d_c, mn_c, mx_c, CompactPlan(orig_idx, valid, nc)
 
 
 def _restore(plan: CompactPlan, cols):
     """Sort compacted per-lane columns back to original order (one sort,
-    all columns as payloads)."""
-    out = jax.lax.sort([plan.orig_idx] + list(cols), num_keys=1)
-    return out[1:]
+    all columns as payloads).  Chunked plans restore per chunk: every
+    lane stayed inside its chunk (the partition sort ran per chunk and
+    chunk c holds original lanes [c*S, (c+1)*S)), so chunk-local sorts
+    by global original index concatenate back in global order."""
+    b = plan.orig_idx.shape[0]
+    nc = plan.n_chunks
+    out = jax.lax.sort(
+        [plan.orig_idx.reshape(nc, b // nc)]
+        + [c.reshape(nc, b // nc) for c in cols],
+        num_keys=1, dimension=1)
+    return [c.reshape(b) for c in out[1:]]
 
 
 def uncompact(x_c, plan: CompactPlan, fill):
@@ -165,9 +200,11 @@ def uncompact(x_c, plan: CompactPlan, fill):
     key + payload (r5: halves the 21 ms un-compaction of the mega
     launch)."""
     if x_c.dtype == jnp.bool_:
+        b = x_c.shape[0]
         packed = plan.orig_idx * 2 + x_c.astype(jnp.int32)
-        (s,) = jax.lax.sort([packed], num_keys=1)
-        x = (s % 2).astype(jnp.bool_)
+        (s,) = jax.lax.sort([packed.reshape(plan.n_chunks, -1)],
+                            num_keys=1, dimension=1)
+        x = (s.reshape(b) % 2).astype(jnp.bool_)
         return jnp.where(plan.valid, x, jnp.asarray(fill, jnp.bool_))
     (x,) = uncompact_many((x_c,), plan, (fill,))
     return x
